@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Headline benchmark: EGM-UNet (A+B+C, base_c=32) 512x512 inference
+throughput on one chip, bf16, NHWC.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/s/chip", "vs_baseline": N}
+
+Baseline (BASELINE.md north star): 2000 images/s/chip at 512x512 on v5e.
+
+Timing methodology: on tunneled TPU backends ``block_until_ready`` can
+return before execution finishes, so wall-clocking dispatched steps
+under-reports wildly.  Instead we chain N forwards *inside one jit program*
+with ``lax.scan`` (each iteration's input depends on the previous output, so
+nothing can be elided or overlapped away) and fetch one scalar at the end;
+timing the program at two different N and subtracting cancels the fetch and
+dispatch overhead: per_iter = (t(N2) - t(N1)) / (N2 - N1).
+"""
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def chained_forward(model, variables, x0, n_iters: int):
+    """One jit program running n data-dependent forwards, returns a scalar."""
+
+    @jax.jit
+    def run(v, x):
+        def step(carry, _):
+            out = model.apply(v, carry, train=False)["out"]
+            # feed a scalar of the output back into the next input: creates a
+            # serial dependency without changing the compute per step
+            nxt = carry + jnp.mean(out).astype(carry.dtype) * 1e-6
+            return nxt, ()
+
+        final, _ = lax.scan(step, x, None, length=n_iters)
+        return jnp.sum(final.astype(jnp.float32))
+
+    return run
+
+
+def time_fetch(fn, variables, x, repeats: int = 3) -> float:
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(variables, x))  # forces full execution + fetch
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="egm_unet")
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--batches", type=str, default="8,16")
+    p.add_argument("--n1", type=int, default=2)
+    p.add_argument("--n2", type=int, default=12)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+
+    from egm_unet_tpu.models import create_model
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = create_model(args.model, base_c=32, num_classes=2, dtype=dtype)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, args.size, args.size, 3), dtype), train=True)
+    variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    best, best_bs, best_ms = 0.0, 0, 0.0
+    for bs in [int(b) for b in args.batches.split(",")]:
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (bs, args.size, args.size, 3), dtype=np.float32), dtype)
+        try:
+            run1 = chained_forward(model, variables, x, args.n1)
+            run2 = chained_forward(model, variables, x, args.n2)
+            float(run1(variables, x))  # compile + warm
+            float(run2(variables, x))
+            t1 = time_fetch(run1, variables, x, args.repeats)
+            t2 = time_fetch(run2, variables, x, args.repeats)
+        except Exception as e:  # OOM etc.
+            print(f"# batch {bs} failed: {type(e).__name__}: {e}", flush=True)
+            continue
+        per_iter = max((t2 - t1) / (args.n2 - args.n1), 1e-9)
+        ips = bs / per_iter
+        print(f"# batch {bs}: {ips:.1f} img/s ({per_iter * 1e3:.2f} ms/iter; "
+              f"t1={t1:.3f}s t2={t2:.3f}s)", flush=True)
+        if ips > best:
+            best, best_bs, best_ms = ips, bs, per_iter * 1e3
+
+    print(json.dumps({
+        "metric": f"{args.model}_{args.size}px_inference_throughput",
+        "value": round(best, 1),
+        "unit": "images/s/chip",
+        "vs_baseline": round(best / 2000.0, 4),
+        "batch": best_bs,
+        "ms_per_iter": round(best_ms, 3),
+        "dtype": args.dtype,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

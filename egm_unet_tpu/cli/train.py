@@ -1,0 +1,149 @@
+"""Training CLI — preserves the reference's contract (ref: train.py:177-207):
+same flags, epoch loop, per-epoch confusion-matrix + dice print, results-txt
+appends, and checkpoint cadence — running as jit'ed sharded steps on TPU.
+
+Extra flags over the reference: --model (registry name), --base-c,
+--synthetic (train without the Baidu-pan TP-Dataset), --mesh-data (explicit
+data-parallel width; defaults to all local devices).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="egm_unet_tpu training")
+    p.add_argument("--data-path", default="./dataset", help="TP-Dataset root")
+    p.add_argument("--num-classes", default=1, type=int,
+                   help="foreground classes (background added internally, ref train.py:80)")
+    p.add_argument("--model", default="egm_unet")
+    p.add_argument("--base-c", default=32, type=int)
+    p.add_argument("-b", "--batch-size", default=8, type=int)
+    p.add_argument("--epochs", default=200, type=int)
+    p.add_argument("--lr", default=0.02, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--weight-decay", default=1e-4, type=float)
+    p.add_argument("--print-freq", default=10, type=int)
+    p.add_argument("--resume", default="", help="checkpoint dir to resume from")
+    p.add_argument("--start-epoch", default=0, type=int)
+    p.add_argument("--save-best", default=True, type=bool)
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute (TPU equivalent of torch AMP)")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-size", default=64, type=int)
+    p.add_argument("--eval-size", default=565, type=int)
+    p.add_argument("--mesh-data", default=None, type=int)
+    p.add_argument("--save-dir", default="save_weights")
+    p.add_argument("--results-file", default=None)
+    p.add_argument("--seed", default=0, type=int)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from egm_unet_tpu import metrics as M
+    from egm_unet_tpu.data import DriveDataset, SyntheticTPDataset, collate_pad
+    from egm_unet_tpu.data.loader import BatchLoader
+    from egm_unet_tpu.data.transforms import EvalTransform, TrainTransform
+    from egm_unet_tpu.engine import (create_train_state, make_eval_step,
+                                     make_train_step, warmup_poly_schedule)
+    from egm_unet_tpu.models import create_model
+    from egm_unet_tpu.parallel import get_mesh, shard_batch
+    from egm_unet_tpu.utils import CheckpointManager, MetricLogger, ResultsWriter
+
+    num_classes = args.num_classes + 1
+    dtype = jnp.bfloat16 if args.amp else jnp.float32
+
+    if args.synthetic:
+        train_ds = SyntheticTPDataset(
+            n=args.batch_size * 4, transforms=TrainTransform(crop_size=args.synthetic_size))
+        val_ds = SyntheticTPDataset(n=8, transforms=EvalTransform(args.eval_size))
+    else:
+        train_ds = DriveDataset(args.data_path, TrainTransform(seed=args.seed), "train.txt")
+        val_ds = DriveDataset(args.data_path, EvalTransform(args.eval_size), "val.txt")
+
+    train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
+    val_loader = BatchLoader(val_ds, 1, shuffle=False, drop_last=False,
+                             collate=collate_pad)
+
+    model = create_model(args.model, num_classes=num_classes,
+                         base_c=args.base_c, dtype=dtype)
+    sched = warmup_poly_schedule(args.lr, len(train_loader), args.epochs)
+    state = create_train_state(model, jax.random.key(args.seed),
+                               (1, 64, 64, 3), sched,
+                               momentum=args.momentum, weight_decay=args.weight_decay)
+
+    ckpt = CheckpointManager(os.path.abspath(args.save_dir), period=100)
+    start_epoch = args.start_epoch
+    if args.resume:
+        restored = CheckpointManager(os.path.abspath(args.resume)).restore(state)
+        state, start_epoch = restored["state"], int(restored["epoch"]) + 1
+        print(f"resumed from epoch {restored['epoch']}")
+
+    mesh = get_mesh(n_data=args.mesh_data) if (args.mesh_data or 0) > 1 or \
+        (args.mesh_data is None and jax.device_count() > 1) else None
+    if mesh is not None:
+        # replicate state onto the mesh (restored checkpoints land on one
+        # device; jit under the mesh requires mesh-consistent placement)
+        from egm_unet_tpu.parallel import replicated
+
+        state = jax.device_put(state, replicated(mesh))
+
+    train_step = jax.jit(make_train_step(num_classes=num_classes))
+    eval_step = jax.jit(make_eval_step(num_classes=num_classes))
+    results = ResultsWriter(args.results_file)
+
+    import contextlib
+    mesh_ctx = jax.set_mesh(mesh) if mesh else contextlib.nullcontext()
+
+    with mesh_ctx:
+        best_dice = -1.0
+        t_start = time.time()
+        for epoch in range(start_epoch, args.epochs):
+            logger = MetricLogger()
+            for images, targets in logger.log_every(
+                    iter(train_loader), args.print_freq, f"Epoch: [{epoch}]"):
+                images = jnp.asarray(images, dtype)
+                targets = jnp.asarray(targets)
+                if mesh:
+                    images, targets = shard_batch(mesh, images, targets)
+                state, aux = train_step(state, images, targets)
+                logger.update(loss=float(aux["loss"]), lr=float(aux["lr"]))
+            mean_loss = logger.meters["loss"].global_avg
+            lr = logger.meters["lr"].value
+
+            confmat = M.confmat_init(num_classes)
+            dice = M.dice_init()
+            for images, targets in val_loader:
+                confmat, dice = eval_step(state, jnp.asarray(images, dtype),
+                                          jnp.asarray(targets), confmat, dice)
+            block = M.confmat_str(confmat)
+            dice_val = float(dice.value)
+            print(block)
+            print(f"dice coefficient: {dice_val:.3f}")
+            results.write_epoch(epoch, mean_loss, lr, block, dice_val)
+
+            if args.save_best:
+                ckpt.maybe_save(epoch, args.epochs, state, dice=dice_val,
+                                extra={"args": vars(args)})
+            else:
+                ckpt.maybe_save(epoch, args.epochs, state,
+                                extra={"args": vars(args)})
+            best_dice = max(best_dice, dice_val)
+
+        total = time.time() - t_start
+        print(f"training time {total / 3600:.2f}h; best dice {best_dice:.3f}")
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

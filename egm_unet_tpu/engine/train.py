@@ -1,0 +1,94 @@
+"""jit'ed train/eval steps, data-parallel over a device mesh.
+
+TPU-native distribution model (replaces the reference's torch.distributed
+NCCL utilities, ref: train_utils/distributed_utils.py:315-338): the step is a
+single jit'ed program; the batch is sharded over the mesh's ``data`` axis
+with ``NamedSharding`` and params are replicated.  XLA/GSPMD inserts the
+gradient all-reduces over ICI, and — because BatchNorm's batch mean runs over
+the globally-sharded batch axis — BN is *synchronized* across replicas by
+construction (the single-device reference never had to choose; SURVEY.md §7
+flags this as a parity decision, and sync-BN matches the reference's
+one-device bs=8 statistics semantics at global batch 8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from egm_unet_tpu import losses as L
+from egm_unet_tpu import metrics as M
+
+
+def make_train_step(num_classes: int = 2, dice: bool = True, ignore_index: int = 255):
+    """Returns step(state, images, targets) -> (state, aux dict)."""
+    loss_weight = L.default_loss_weight(num_classes)
+
+    def train_step(state, images, targets):
+        def loss_fn(params):
+            outputs, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = L.criterion(outputs, targets, loss_weight, num_classes,
+                               dice=dice, ignore_index=ignore_index)
+            return loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        aux = {"loss": loss, "lr": state.lr_fn(state.step)}
+        return state, aux
+
+    return train_step
+
+
+def make_eval_step(num_classes: int = 2, ignore_index: int = 255):
+    """Returns step(state, images, targets, confmat, dice) -> (confmat, dice).
+
+    Metric accumulation happens on device (ref: train_and_eval.py:22-40).
+    """
+
+    def eval_step(state, images, targets, confmat, dice_state):
+        outputs = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        logits = outputs["out"]
+        pred = jnp.argmax(logits, axis=-1)
+        confmat = M.confmat_update(confmat, targets, pred)
+        dice_state = M.dice_update(dice_state, logits, targets, ignore_index)
+        return confmat, dice_state
+
+    return eval_step
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "ignore_index"))
+def eval_step(state, images, targets, confmat, dice_state,
+              num_classes: int = 2, ignore_index: int = 255):
+    return make_eval_step(num_classes, ignore_index)(
+        state, images, targets, confmat, dice_state)
+
+
+def jit_sharded(fn, mesh, *, donate_state: bool = True):
+    """jit ``fn(state, images, targets, ...)`` with batch sharded over the
+    mesh's ``data`` axis and everything else replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    def shard_args(state, images, targets, *rest):
+        state = jax.device_put(state, repl)
+        images = jax.device_put(images, batch_sh)
+        targets = jax.device_put(targets, batch_sh)
+        rest = tuple(jax.device_put(r, repl) for r in rest)
+        return (state, images, targets, *rest)
+
+    jitted = jax.jit(fn, donate_argnums=(0,) if donate_state else ())
+    return jitted, shard_args

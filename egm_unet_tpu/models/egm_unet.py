@@ -1,0 +1,95 @@
+"""EGM-UNet / GRFB-UNet family with composable A/B/C ablation modules.
+
+ref: src/EGM-UNet.py:1503-1541 (full A+B+C graph), src/yuanGRFBUNet.py (A+B
+variant: DoubleConv1 without MCALayer).
+
+Modules (named as in the reference's record/ ablation logs, SURVEY.md §6):
+
+- A ``block='edge'``  — EdgeEnhancedGRFB appended to each encoder DoubleConv1.
+- A' ``block='grfb'`` — original GRFB block instead (GRFB-UNet baseline).
+- B ``use_rga``       — RecursiveGatedAttention at the bottleneck.
+- C ``use_mca``       — enhanced MCALayer between the two convs of each
+  encoder DoubleConv1.
+
+Encoder stages use DoubleConv1 = conv-BN-ReLU [-MCA-] conv-BN-ReLU [-GRFB]
+(ref: src/EGM-UNet.py:888-904); the stem and decoder use plain DoubleConv.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from egm_unet_tpu.nn.attention import MCALayer, RecursiveGatedAttention
+from egm_unet_tpu.nn.grfb import GRFB, EdgeEnhancedGRFB
+from egm_unet_tpu.nn.layers import Conv, ConvBNReLU, DoubleConv
+from egm_unet_tpu.models.unet import Up
+from egm_unet_tpu.ops.pooling import max_pool2d
+
+
+class DoubleConv1(nn.Module):
+    """Encoder DoubleConv with optional MCA (C) and GRFB (A) modules
+    (ref: src/EGM-UNet.py:888-904)."""
+
+    features: int
+    mid_features: Optional[int] = None
+    block: Optional[str] = "edge"  # 'edge' | 'grfb' | None
+    use_mca: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.mid_features or self.features
+        x = ConvBNReLU(mid, self.dtype, name="conv1")(x, train)
+        if self.use_mca:
+            x = MCALayer(dtype=self.dtype, name="mca")(x)
+        x = ConvBNReLU(self.features, self.dtype, name="conv2")(x, train)
+        if self.block == "edge":
+            x = EdgeEnhancedGRFB(self.features, stride=1, scale=0.1, visual=12,
+                                 dtype=self.dtype, name="egrfb")(x, train)
+        elif self.block == "grfb":
+            x = GRFB(self.features, stride=1, scale=0.1, visual=12,
+                     dtype=self.dtype, name="grfb")(x, train)
+        return x
+
+
+class EGMUNet(nn.Module):
+    """The flagship model; ``block='edge', use_rga=True, use_mca=True`` is
+    the published A+B+C config (mIoU 93.8 on TP-928, BASELINE.md)."""
+
+    in_channels: int = 3
+    num_classes: int = 2
+    bilinear: bool = True
+    base_c: int = 32
+    block: Optional[str] = "edge"
+    use_rga: bool = True
+    use_mca: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.base_c
+        factor = 2 if self.bilinear else 1
+
+        def down(feats, name):
+            return DoubleConv1(feats, block=self.block, use_mca=self.use_mca,
+                               dtype=self.dtype, name=name)
+
+        x1 = DoubleConv(c, dtype=self.dtype, name="in_conv")(x, train)
+        x2 = down(c * 2, "down1")(max_pool2d(x1), train)
+        x3 = down(c * 4, "down2")(max_pool2d(x2), train)
+        x4 = down(c * 8, "down3")(max_pool2d(x3), train)
+        x5 = down(c * 16 // factor, "down4")(max_pool2d(x4), train)
+
+        if self.use_rga:
+            x5 = RecursiveGatedAttention(dim=c * 16 // factor, dtype=self.dtype,
+                                         name="attn1")(x5)
+
+        x = Up(c * 8 // factor, self.bilinear, self.dtype, name="up1")(x5, x4, train)
+        x = Up(c * 4 // factor, self.bilinear, self.dtype, name="up2")(x, x3, train)
+        x = Up(c * 2 // factor, self.bilinear, self.dtype, name="up3")(x, x2, train)
+        x = Up(c, self.bilinear, self.dtype, name="up4")(x, x1, train)
+        logits = Conv(self.num_classes, 1, dtype=self.dtype, name="out_conv")(x)
+        return {"out": logits.astype(jnp.float32)}

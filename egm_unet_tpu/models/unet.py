@@ -1,0 +1,78 @@
+"""Vanilla UNet (ref: src/unet.py:7-96) — the minimum end-to-end model.
+
+NHWC, bilinear(align_corners=True) decoder by default, returns
+``{"out": logits}`` like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from egm_unet_tpu.nn.layers import Conv, DoubleConv
+from egm_unet_tpu.ops.conv import conv_transpose2d_nonoverlap
+from egm_unet_tpu.ops.pooling import max_pool2d
+from egm_unet_tpu.ops.resize import upsample2x_bilinear_align_corners
+
+
+def pad_to_match(x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """Zero-pad x1 spatially to x2's H/W (ref: src/unet.py:40-44 /
+    src/EGM-UNet.py:940-945).  Shapes are static under jit."""
+    dy = x2.shape[1] - x1.shape[1]
+    dx = x2.shape[2] - x1.shape[2]
+    if dy == 0 and dx == 0:
+        return x1
+    return jnp.pad(
+        x1, ((0, 0), (dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0))
+    )
+
+
+class Up(nn.Module):
+    """Upsample + pad + concat skip + DoubleConv (ref: src/unet.py:24-47)."""
+
+    features: int
+    bilinear: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = False):
+        if self.bilinear:
+            x1 = upsample2x_bilinear_align_corners(x1)
+            conv = DoubleConv(self.features, mid_features=(x1.shape[-1] + x2.shape[-1]) // 2,
+                              dtype=self.dtype)
+        else:
+            cin = x1.shape[-1]
+            w = self.param("up_kernel", nn.initializers.variance_scaling(
+                1.0 / 3.0, "fan_in", "uniform"), (cin, 2, 2, cin // 2), jnp.float32)
+            x1 = conv_transpose2d_nonoverlap(x1, w.astype(x1.dtype))
+            conv = DoubleConv(self.features, dtype=self.dtype)
+        x1 = pad_to_match(x1, x2)
+        x = jnp.concatenate([x2, x1], axis=-1)
+        return conv(x, train)
+
+
+class UNet(nn.Module):
+    in_channels: int = 3
+    num_classes: int = 2
+    bilinear: bool = True
+    base_c: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.base_c
+        factor = 2 if self.bilinear else 1
+        x1 = DoubleConv(c, dtype=self.dtype, name="in_conv")(x, train)
+        x2 = DoubleConv(c * 2, dtype=self.dtype, name="down1")(max_pool2d(x1), train)
+        x3 = DoubleConv(c * 4, dtype=self.dtype, name="down2")(max_pool2d(x2), train)
+        x4 = DoubleConv(c * 8, dtype=self.dtype, name="down3")(max_pool2d(x3), train)
+        x5 = DoubleConv(c * 16 // factor, dtype=self.dtype, name="down4")(max_pool2d(x4), train)
+        x = Up(c * 8 // factor, self.bilinear, self.dtype, name="up1")(x5, x4, train)
+        x = Up(c * 4 // factor, self.bilinear, self.dtype, name="up2")(x, x3, train)
+        x = Up(c * 2 // factor, self.bilinear, self.dtype, name="up3")(x, x2, train)
+        x = Up(c, self.bilinear, self.dtype, name="up4")(x, x1, train)
+        logits = Conv(self.num_classes, 1, dtype=self.dtype, name="out_conv")(x)
+        return {"out": logits.astype(jnp.float32)}

@@ -1,0 +1,146 @@
+"""GRFB blocks: the original receptive-field block and the edge-enhanced
+variant (module "A") with its FusionConv dual-attention fusion.
+
+ref: src/EGM-UNet.py:977-1023 (GRFB), :1202-1236 (FusionConv),
+:1238-1323 (EdgeEnhancedGRFB).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from egm_unet_tpu.nn.attention import ChannelAttention, SpatialAttention
+from egm_unet_tpu.nn.layers import BasicConv, Conv, EdgeAwareFeatureEnhancer
+
+
+class FusionConv(nn.Module):
+    """concat -> 1x1 down to out/4 -> (3x3+5x5+7x7 summed) x spatial-attn,
+    combined with channel attention: up(res + s*c)
+    (ref: src/EGM-UNet.py:1202-1236)."""
+
+    features: int
+    factor: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        dim = int(self.features // self.factor)
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = Conv(dim, 1, dtype=self.dtype, name="down")(x)
+        res = x
+        s = (
+            Conv(dim, 3, padding=1, dtype=self.dtype, name="conv3")(x)
+            + Conv(dim, 5, padding=2, dtype=self.dtype, name="conv5")(x)
+            + Conv(dim, 7, padding=3, dtype=self.dtype, name="conv7")(x)
+        )
+        s = s * SpatialAttention(dtype=self.dtype, name="spatial")(s)
+        c = ChannelAttention(dtype=self.dtype, name="channel")(x)
+        return Conv(self.features, 1, dtype=self.dtype, name="up")(res + s * c)
+
+
+class EdgeEnhancedGRFB(nn.Module):
+    """Edge-enhanced GRFB (module "A"), ref: src/EGM-UNet.py:1238-1323.
+
+    input edge-enhance -> three dilated branches (d = visual, 2*visual,
+    3*visual) -> concat with input -> FusionConv(concat, concat) ->
+    scale-residual -> ReLU -> target enhancer (3-ch sigmoid map,
+    out *= 1 + map.mean(channels)).
+    """
+
+    features: int
+    stride: int = 1
+    scale: float = 0.1
+    visual: int = 12
+    fusion_factor: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inter = max(x.shape[-1] // 8, 4)
+        v = self.visual
+        identity = x
+
+        xe = EdgeAwareFeatureEnhancer(dtype=self.dtype, name="edge_enhancer")(x, train)
+
+        d = BasicConv(2 * inter, 1, dtype=self.dtype, name="dir0")(xe, train)
+        d = BasicConv(2 * inter, 3, padding=v, dilation=v, relu=False,
+                      dtype=self.dtype, name="dir1")(d, train)
+        d = BasicConv(2 * inter, 1, dtype=self.dtype, name="dir2")(d, train)
+
+        e = BasicConv(inter, 1, dtype=self.dtype, name="edge0")(xe, train)
+        e = EdgeAwareFeatureEnhancer(dtype=self.dtype, name="edge_eafe")(e, train)
+        e = BasicConv(2 * inter, 3, stride=self.stride, padding=1, groups=inter,
+                      dtype=self.dtype, name="edge1")(e, train)
+        e = BasicConv(2 * inter, 3, padding=2 * v, dilation=2 * v, relu=False,
+                      dtype=self.dtype, name="edge2")(e, train)
+        e = BasicConv(2 * inter, 1, dtype=self.dtype, name="edge3")(e, train)
+
+        c = BasicConv(inter, 3, padding=1, dtype=self.dtype, name="ctx0")(xe, train)
+        c = BasicConv(2 * inter, 3, stride=self.stride, padding=1, groups=2,
+                      dtype=self.dtype, name="ctx1")(c, train)
+        c = BasicConv(2 * inter, 3, padding=3 * v, dilation=3 * v, relu=False,
+                      dtype=self.dtype, name="ctx2")(c, train)
+        c = BasicConv(2 * inter, 1, dtype=self.dtype, name="ctx3")(c, train)
+
+        concat = jnp.concatenate([x, d, e, c], axis=-1)
+        out = FusionConv(self.features, self.fusion_factor, dtype=self.dtype,
+                         name="fusion")(concat, concat)
+
+        short = BasicConv(self.features, 1, stride=self.stride, relu=False,
+                          dtype=self.dtype, name="shortcut")(identity, train)
+        out = nn.relu(out * self.scale + short)
+
+        tw = Conv(3, 3, padding=1, dtype=self.dtype, name="target_enhancer")(out)
+        tw = nn.sigmoid(tw)
+        return out * (1.0 + jnp.mean(tw, axis=-1, keepdims=True))
+
+
+class GRFB(nn.Module):
+    """Original GRFB block (kept for the GRFB-UNet baseline),
+    ref: src/EGM-UNet.py:977-1023."""
+
+    features: int
+    stride: int = 1
+    scale: float = 0.1
+    visual: int = 12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inter = x.shape[-1] // 8
+        v = self.visual
+        s = self.stride
+
+        b0 = BasicConv(2 * inter, 1, stride=s, dtype=self.dtype, name="b0_0")(x, train)
+        b0 = BasicConv(2 * inter, 3, padding=v, dilation=v, relu=False,
+                       dtype=self.dtype, name="b0_1")(b0, train)
+        b0 = BasicConv(2 * inter, 1, stride=s, dtype=self.dtype, name="b0_2")(b0, train)
+
+        b1 = BasicConv(inter, 1, dtype=self.dtype, name="b1_0")(x, train)
+        b1 = BasicConv(2 * inter, 3, stride=s, padding=1, groups=inter,
+                       dtype=self.dtype, name="b1_1")(b1, train)
+        b1 = BasicConv(2 * inter, 1, stride=s, dtype=self.dtype, name="b1_2")(b1, train)
+        b1 = BasicConv(2 * inter, 3, padding=2 * v, dilation=2 * v, relu=False,
+                       dtype=self.dtype, name="b1_3")(b1, train)
+        b1 = BasicConv(2 * inter, 1, dtype=self.dtype, name="b1_4")(b1, train)
+
+        b2 = BasicConv(inter, 1, dtype=self.dtype, name="b2_0")(x, train)
+        b2 = BasicConv(2 * inter, 3, padding=1, groups=inter,
+                       dtype=self.dtype, name="b2_1")(b2, train)
+        b2 = BasicConv(2 * inter, 1, stride=s, dtype=self.dtype, name="b2_2")(b2, train)
+        b2 = BasicConv(2 * inter, 3, stride=s, padding=1, groups=2 * inter,
+                       dtype=self.dtype, name="b2_3")(b2, train)
+        b2 = BasicConv(2 * inter, 1, stride=s, dtype=self.dtype, name="b2_4")(b2, train)
+        b2 = BasicConv(2 * inter, 3, padding=3 * v, dilation=3 * v, relu=False,
+                       dtype=self.dtype, name="b2_5")(b2, train)
+        b2 = BasicConv(2 * inter, 1, stride=s, dtype=self.dtype, name="b2_6")(b2, train)
+
+        out = jnp.concatenate([x, b0, b1, b2], axis=-1)
+        out = BasicConv(self.features, 1, relu=False, dtype=self.dtype,
+                        name="conv_linear")(out, train)
+        short = BasicConv(self.features, 1, stride=s, relu=False,
+                          dtype=self.dtype, name="shortcut")(x, train)
+        return nn.relu(out * self.scale + short)

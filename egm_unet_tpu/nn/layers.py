@@ -1,0 +1,158 @@
+"""Basic conv blocks (flax.linen, NHWC).
+
+Initialization policy: convs/linears use torch's default
+``kaiming_uniform(a=sqrt(5))`` distribution (uniform ±1/sqrt(fan_in)) so
+from-scratch training dynamics track the reference; expressed in JAX as
+``variance_scaling(1/3, 'fan_in', 'uniform')``.
+
+BatchNorm momentum translation: torch updates
+``ra = (1-m)*ra + m*batch`` while flax uses ``ra = m*ra + (1-m)*batch``, so
+flax momentum = 1 - torch momentum (torch 0.1 -> 0.9 here; BasicConv's
+torch 0.01 -> 0.99, ref: src/EGM-UNet.py:966).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):
+    bound = 1.0 / (fan_in**0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Conv(nn.Module):
+    """Conv2d with integer symmetric padding, torch-style defaults."""
+
+    features: int
+    kernel_size: int | Sequence[int] = 3
+    stride: int = 1
+    padding: int | Sequence[int] = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size if isinstance(self.kernel_size, (tuple, list)) else (
+            self.kernel_size, self.kernel_size)
+        p = self.padding if isinstance(self.padding, (tuple, list)) else (
+            self.padding, self.padding)
+        fan_in = (x.shape[-1] // self.groups) * k[0] * k[1]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=tuple(k),
+            strides=(self.stride, self.stride),
+            padding=(
+                (int(p[0]), int(p[0])),
+                (int(p[1]), int(p[1])),
+            ),
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=lambda key, shape, dtype=jnp.float32: torch_bias_init(
+                key, shape, dtype, fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BN with torch-style momentum argument (see module docstring)."""
+
+    torch_momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.torch_momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class BasicConv(nn.Module):
+    """conv -> BN(eps 1e-5, torch momentum 0.01) -> ReLU, each optional.
+
+    ref: src/EGM-UNet.py:958-975.  bias=False by default.
+    """
+
+    features: int
+    kernel_size: int | Sequence[int] = 3
+    stride: int = 1
+    padding: int | Sequence[int] = 0
+    dilation: int = 1
+    groups: int = 1
+    relu: bool = True
+    bn: bool = True
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.features, self.kernel_size, self.stride, self.padding,
+                 self.dilation, self.groups, self.use_bias, self.dtype)(x)
+        if self.bn:
+            x = BatchNorm(torch_momentum=0.01, dtype=self.dtype)(x, train)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class ConvBNReLU(nn.Module):
+    """conv3x3(pad 1, no bias) -> BN(default momentum) -> ReLU — one half of
+    DoubleConv (ref: src/EGM-UNet.py:44-55)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.features, 3, padding=1, use_bias=False, dtype=self.dtype)(x)
+        x = BatchNorm(dtype=self.dtype)(x, train)
+        return nn.relu(x)
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 BN ReLU) x2 with optional mid width
+    (ref: src/EGM-UNet.py:44-55, src/unet.py:7-19)."""
+
+    features: int
+    mid_features: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.mid_features or self.features
+        x = ConvBNReLU(mid, self.dtype)(x, train)
+        x = ConvBNReLU(self.features, self.dtype)(x, train)
+        return x
+
+
+class EdgeAwareFeatureEnhancer(nn.Module):
+    """edge = x - AvgPool3x3(x); w = sigmoid(BN(conv1x1(edge)));
+    out = w*x + x  (ref: src/EGM-UNet.py:872-886)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from egm_unet_tpu.ops.pooling import avg_pool2d
+
+        edge = x - avg_pool2d(x, 3, 1, 1)
+        w = Conv(x.shape[-1], 1, dtype=self.dtype)(edge)
+        w = BatchNorm(dtype=self.dtype)(w, train)
+        w = nn.sigmoid(w)
+        return w * x + x

@@ -1,0 +1,141 @@
+"""Image resize as separable interpolation matrices (MXU-friendly).
+
+Rather than gather-based sampling, resizes are expressed as two small dense
+matmuls ``out = A_h @ x @ A_w^T`` — on TPU these ride the MXU and fuse with
+surrounding ops, and the interpolation matrices are trace-time constants.
+
+Parity targets (these rounding conventions move mIoU by tenths of points,
+see SURVEY.md §7 "hard parts"):
+
+- ``align_corners=True`` bilinear == ``nn.Upsample(mode='bilinear',
+  align_corners=True)`` used by the UNet decoder (ref: src/EGM-UNet.py:931).
+- ``align_corners=False`` bilinear == ``F.interpolate(mode='bilinear')`` /
+  cv2 INTER_LINEAR used when resizing logits (ref: eval_CLIPseg.py:885-888,
+  predict.py:79).
+- ``resize_nearest(mode='torch')`` == ``F.interpolate(mode='nearest')``;
+  ``mode='pil'`` == PIL ``Image.NEAREST`` used for mask resizing in the
+  paired transforms (ref: transforms.py:30-42).
+- bicubic == ``F.interpolate(mode='bicubic', align_corners=False)`` with
+  PyTorch's a=-0.75 kernel, used for positional-embedding rescaling
+  (ref: clip/model.py:263-281, models/clipseg.py:181-186).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _linear_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    """(n_out, n_in) row-stochastic linear-interpolation matrix."""
+    a = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_out == 1:
+        # align_corners=True maps the single output to source 0; the
+        # half-pixel convention maps it to the (clamped) center.
+        src = np.array([0.0 if align_corners else max(0.0, 0.5 * n_in - 0.5)])
+    elif align_corners:
+        src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    else:
+        src = np.clip((np.arange(n_out) + 0.5) * n_in / n_out - 0.5, 0.0, n_in - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (src - lo).astype(np.float32)
+    rows = np.arange(n_out)
+    a[rows, lo] += 1.0 - frac
+    a[rows, hi] += frac
+    return a
+
+
+def _cubic_weight(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic kernel with PyTorch/OpenCV's a=-0.75."""
+    t = np.abs(t)
+    w = np.where(
+        t <= 1.0,
+        (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0,
+        np.where(t < 2.0, a * t**3 - 5.0 * a * t**2 + 8.0 * a * t - 4.0 * a, 0.0),
+    )
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _cubic_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    a = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_out == 1:
+        src = np.array([0.0 if align_corners else max(0.0, 0.5 * n_in - 0.5)])
+    elif align_corners:
+        src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    else:
+        src = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+    base = np.floor(src).astype(np.int64)
+    frac = src - base
+    rows = np.arange(n_out)
+    for k in range(-1, 3):
+        idx = np.clip(base + k, 0, n_in - 1)  # border replicate, as torch
+        a[rows, idx] += _cubic_weight(frac - k)
+    return a
+
+
+@functools.lru_cache(maxsize=256)
+def _nearest_matrix(n_in: int, n_out: int, mode: str) -> np.ndarray:
+    a = np.zeros((n_out, n_in), dtype=np.float32)
+    if mode == "torch":  # floor(i * n_in / n_out)
+        idx = np.floor(np.arange(n_out) * n_in / n_out).astype(np.int64)
+    elif mode == "pil":  # PIL NEAREST: floor((i + 0.5) * n_in / n_out)
+        idx = np.floor((np.arange(n_out) + 0.5) * n_in / n_out).astype(np.int64)
+    else:
+        raise ValueError(f"unknown nearest mode {mode!r}")
+    idx = np.clip(idx, 0, n_in - 1)
+    a[np.arange(n_out), idx] = 1.0
+    return a
+
+
+def _apply_separable(x: jax.Array, ah: np.ndarray, aw: np.ndarray) -> jax.Array:
+    """Apply (H_out,H_in) and (W_out,W_in) matrices to NHWC or HWC or HW."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    ah_j = jnp.asarray(ah)
+    aw_j = jnp.asarray(aw)
+    if x.ndim == 4:  # NHWC
+        y = jnp.einsum("ph,bhwc->bpwc", ah_j, xf)
+        y = jnp.einsum("qw,bpwc->bpqc", aw_j, y)
+    elif x.ndim == 3:  # HWC
+        y = jnp.einsum("ph,hwc->pwc", ah_j, xf)
+        y = jnp.einsum("qw,pwc->pqc", aw_j, y)
+    elif x.ndim == 2:  # HW
+        y = ah_j @ xf @ aw_j.T
+    else:
+        raise ValueError(f"rank {x.ndim} not supported")
+    return y.astype(dtype)
+
+
+def resize_bilinear(x: jax.Array, out_hw, align_corners: bool = False) -> jax.Array:
+    h_out, w_out = int(out_hw[0]), int(out_hw[1])
+    h_in, w_in = (x.shape[1], x.shape[2]) if x.ndim == 4 else (x.shape[0], x.shape[1])
+    return _apply_separable(
+        x, _linear_matrix(h_in, h_out, align_corners), _linear_matrix(w_in, w_out, align_corners)
+    )
+
+
+def resize_bicubic(x: jax.Array, out_hw, align_corners: bool = False) -> jax.Array:
+    h_out, w_out = int(out_hw[0]), int(out_hw[1])
+    h_in, w_in = (x.shape[1], x.shape[2]) if x.ndim == 4 else (x.shape[0], x.shape[1])
+    return _apply_separable(
+        x, _cubic_matrix(h_in, h_out, align_corners), _cubic_matrix(w_in, w_out, align_corners)
+    )
+
+
+def resize_nearest(x: jax.Array, out_hw, mode: str = "torch") -> jax.Array:
+    h_out, w_out = int(out_hw[0]), int(out_hw[1])
+    h_in, w_in = (x.shape[1], x.shape[2]) if x.ndim == 4 else (x.shape[0], x.shape[1])
+    return _apply_separable(
+        x, _nearest_matrix(h_in, h_out, mode), _nearest_matrix(w_in, w_out, mode)
+    )
+
+
+def upsample2x_bilinear_align_corners(x: jax.Array) -> jax.Array:
+    """The UNet decoder's Upsample(scale_factor=2, align_corners=True)."""
+    return resize_bilinear(x, (2 * x.shape[1], 2 * x.shape[2]), align_corners=True)
