@@ -55,8 +55,8 @@ def build_clipseg(args):
         print(f"loaded Long-CLIP tower from {args.longclip_weights}")
     model = CLIPDensePredT(clip_cfg=cfg, reduce_dim=64)
     img0 = jnp.zeros((1, args.clip_size, args.clip_size, 3))
-    cond0 = jnp.zeros((1, cfg.embed_dim))
-    variables = model.init(jax.random.key(0), img0, cond0)
+    tok0 = jnp.zeros((1, cfg.context_length), jnp.int32)  # token init
+    variables = model.init(jax.random.key(0), img0, tok0)  # materializes text tower
     params = dict(variables["params"])
     if params_clip is not None:
         params["clip"] = params_clip

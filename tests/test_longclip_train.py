@@ -1,0 +1,112 @@
+"""Long-CLIP contrastive fine-tune loss tests (ref: clip/model.py:572-614)."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from egm_unet_tpu.engine.longclip_train import (
+    cross_entropy_smoothed,
+    longclip_contrastive_loss,
+    pca_reconstruct,
+)
+from egm_unet_tpu.parallel import get_mesh
+
+torch.set_grad_enabled(False)
+
+
+def test_pca_matches_torch(rng):
+    x = rng.standard_normal((16, 12), dtype=np.float32)
+    t = torch.from_numpy(x)
+    mean = t.mean(dim=0)
+    xc = t - mean
+    _, _, vt = torch.linalg.svd(xc, full_matrices=False)
+    pc = vt.T[:, :4]
+    ref = (xc @ pc) @ pc.T + mean
+    got = pca_reconstruct(jnp.asarray(x), 4)
+    # SVD sign ambiguity cancels in project+reconstruct
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_smoothed_ce_matches_torch(rng):
+    logits = rng.standard_normal((6, 10), dtype=np.float32)
+    targets = rng.integers(0, 10, size=(6,))
+    ref = F.cross_entropy(torch.from_numpy(logits), torch.from_numpy(targets),
+                          label_smoothing=0.1)
+    got = cross_entropy_smoothed(jnp.asarray(logits), jnp.asarray(targets), 0.1)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def torch_longclip_loss(img, tl, ts, logit_scale):
+    """Single-process oracle of the reference's forward (world size 1)."""
+    def norm(t):
+        return t / t.norm(dim=1, keepdim=True)
+
+    img, tl, ts = norm(img), norm(tl), norm(ts)
+    mean = img.mean(dim=0)
+    xc = img - mean
+    _, _, vt = torch.linalg.svd(xc, full_matrices=False)
+    pc = vt.T[:, :4]
+    img_s = (xc @ pc) @ pc.T + mean
+
+    scale = logit_scale.exp()
+    sim_i2tl = scale * img @ tl.T
+    sim_tl2i = (scale * img @ tl.T).T.T  # world=1: same matrix
+    sim_i2ts = scale * img_s @ ts.T
+    sim_ts2i = (scale * img_s @ ts.T).T.T
+    targets = torch.arange(img.shape[0])
+    li = (F.cross_entropy(sim_i2tl, targets, label_smoothing=0.1)
+          + F.cross_entropy(sim_tl2i.T.T, targets, label_smoothing=0.1)) / 2
+    ls = (F.cross_entropy(sim_i2ts, targets, label_smoothing=0.1)
+          + F.cross_entropy(sim_ts2i.T.T, targets, label_smoothing=0.1)) / 2
+    return float(li), float(ls)
+
+
+def test_single_process_matches_torch_oracle(rng):
+    b, d = 8, 16
+    # low-rank-dominated images: a clear spectral gap at PCA dim 4 makes the
+    # torch-vs-jax SVD subspaces agree (they differ on degenerate spectra)
+    basis = rng.standard_normal((4, d), dtype=np.float32) * 3.0
+    img = (rng.standard_normal((b, 4), dtype=np.float32) @ basis
+           + 0.01 * rng.standard_normal((b, d), dtype=np.float32))
+    tl = rng.standard_normal((b, d), dtype=np.float32)
+    ts = rng.standard_normal((b, d), dtype=np.float32)
+    scale = np.float32(np.log(1 / 0.07))
+    ref_l, ref_s = torch_longclip_loss(torch.from_numpy(img), torch.from_numpy(tl),
+                                       torch.from_numpy(ts), torch.tensor(scale))
+    got_l, got_s = longclip_contrastive_loss(
+        jnp.asarray(img), jnp.asarray(tl), jnp.asarray(ts), jnp.asarray(scale),
+        pca_dim=4)
+    np.testing.assert_allclose(float(got_l), ref_l, rtol=1e-4)
+    np.testing.assert_allclose(float(got_s), ref_s, rtol=1e-2)
+
+
+def test_sharded_loss_runs_and_grads_flow(rng):
+    """8-way shard_map: per-shard PCA + differentiable all_gather
+    (replacing torch.distributed.nn.all_gather)."""
+    mesh = get_mesh(n_data=8)
+    b, d = 16, 8  # 2 per shard
+    img = jnp.asarray(rng.standard_normal((b, d), dtype=np.float32))
+    tl = jnp.asarray(rng.standard_normal((b, d), dtype=np.float32))
+    ts = jnp.asarray(rng.standard_normal((b, d), dtype=np.float32))
+    scale = jnp.asarray(np.float32(np.log(1 / 0.07)))
+
+    def total(img, tl, ts):
+        def core(i, l, s):
+            ll, ls = longclip_contrastive_loss(i, l, s, scale,
+                                               axis_name="data", pca_dim=2)
+            return jax.lax.pmean(ll + 0.1 * ls, "data")
+
+        return jax.shard_map(core, mesh=mesh,
+                             in_specs=(P("data"), P("data"), P("data")),
+                             out_specs=P())(img, tl, ts)
+
+    with jax.set_mesh(mesh):
+        loss, grads = jax.value_and_grad(total)(img, tl, ts)
+    assert np.isfinite(float(loss))
+    # gradient must flow through the all_gather into every shard's images
+    g = np.asarray(grads)
+    assert (np.abs(g).sum(axis=1) > 0).all(), "some rows got zero grad"
