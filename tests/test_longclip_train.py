@@ -53,15 +53,17 @@ def torch_longclip_loss(img, tl, ts, logit_scale):
     img_s = (xc @ pc) @ pc.T + mean
 
     scale = logit_scale.exp()
+    # world=1: image_feat_all == image features, so sim_tl2i is the single
+    # transpose of (img_all @ txt.T) (ref: clip/model.py:588-594)
     sim_i2tl = scale * img @ tl.T
-    sim_tl2i = (scale * img @ tl.T).T.T  # world=1: same matrix
+    sim_tl2i = (scale * img @ tl.T).T
     sim_i2ts = scale * img_s @ ts.T
-    sim_ts2i = (scale * img_s @ ts.T).T.T
+    sim_ts2i = (scale * img_s @ ts.T).T
     targets = torch.arange(img.shape[0])
     li = (F.cross_entropy(sim_i2tl, targets, label_smoothing=0.1)
-          + F.cross_entropy(sim_tl2i.T.T, targets, label_smoothing=0.1)) / 2
+          + F.cross_entropy(sim_tl2i, targets, label_smoothing=0.1)) / 2
     ls = (F.cross_entropy(sim_i2ts, targets, label_smoothing=0.1)
-          + F.cross_entropy(sim_ts2i.T.T, targets, label_smoothing=0.1)) / 2
+          + F.cross_entropy(sim_ts2i, targets, label_smoothing=0.1)) / 2
     return float(li), float(ls)
 
 
