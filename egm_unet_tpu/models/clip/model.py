@@ -71,22 +71,31 @@ class QuickGELU(nn.Module):
 
 
 class ResidualAttentionBlock(nn.Module):
-    """Pre-LN transformer block (ref: clip/model.py:173-207)."""
+    """Pre-LN transformer block (ref: clip/model.py:173-207).
+
+    ``attn_impl='pallas'`` routes CSA attention through the fused Pallas
+    kernel (ops/pallas/csa.py) — TPU only; 'xla' is the einsum path."""
 
     width: int
     heads: int
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, attn_bias=None, csa: bool = False,
-                 return_weights: bool = False):
+                 return_weights: bool = False, mult_mask=None):
         h = LayerNormF32(name="ln_1")(x)
         qkv = nn.Dense(3 * self.width, dtype=self.dtype, param_dtype=jnp.float32,
                        name="in_proj")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        attn = multi_head_attention(q, k, v, self.heads, csa=csa,
-                                    attn_bias=attn_bias,
-                                    return_weights=return_weights)
+        if csa and self.attn_impl == "pallas" and not return_weights and mult_mask is None:
+            from egm_unet_tpu.ops.pallas.csa import csa_attention
+
+            attn = csa_attention(q, k, v, self.heads)
+        else:
+            attn = multi_head_attention(q, k, v, self.heads, csa=csa,
+                                        attn_bias=attn_bias, mult_mask=mult_mask,
+                                        return_weights=return_weights)
         if return_weights:
             attn, weights = attn
         attn = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
@@ -110,6 +119,7 @@ class VisionTransformer(nn.Module):
 
     cfg: CLIPConfig
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     def _pos_embedding(self, pos, n_tokens: int, grid_hw: Tuple[int, int]):
         """Bicubic-resample patch positions for non-224 inputs
@@ -132,6 +142,7 @@ class VisionTransformer(nn.Module):
         extract_layers: Sequence[int] = (),
         return_all: bool = False,
         dense: bool = False,
+        mask=None,  # (mask_type, seg[B, h, w]) visual-prompt attention mask
     ):
         cfg = self.cfg
         p = cfg.vision_patch_size
@@ -157,15 +168,27 @@ class VisionTransformer(nn.Module):
 
         tokens = LayerNormF32(name="ln_pre")(tokens)
 
+        mult_mask = None
+        if mask is not None:
+            # resize the visual-prompt seg to the patch grid (NEAREST — torch
+            # F.interpolate default) and flatten (ref: models/clipseg.py:222-233)
+            from egm_unet_tpu.ops.resize import resize_nearest
+
+            mask_type, seg = mask
+            seg = resize_nearest(seg.astype(jnp.float32)[..., None], grid_hw,
+                                 mode="torch")
+            mult_mask = (mask_type, seg.reshape(b, grid_hw[0] * grid_hw[1]))
+
         activations = []
         n_layers = cfg.vision_layers
         for i in range(n_layers):
             block = ResidualAttentionBlock(cfg.vision_width, cfg.vision_heads,
-                                           self.dtype, name=f"resblock{i}")
+                                           self.dtype, attn_impl=self.attn_impl,
+                                           name=f"resblock{i}")
             # dense path: CSA in every block (ref: models/clipseg.py:236);
             # encode path: CSA only in the final block (ref: clip/model.py:247-251)
             use_csa = csa and (dense or i == n_layers - 1)
-            tokens = block(tokens, csa=use_csa)
+            tokens = block(tokens, csa=use_csa, mult_mask=mult_mask)
             if i in extract_layers:
                 activations.append(tokens)
 
@@ -186,10 +209,12 @@ class CLIP(nn.Module):
 
     cfg: CLIPConfig = VIT_B16
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"  # 'pallas' fuses CSA attention on TPU
 
     def setup(self):
         cfg = self.cfg
-        self.visual = VisionTransformer(cfg, self.dtype, name="visual")
+        self.visual = VisionTransformer(cfg, self.dtype, attn_impl=self.attn_impl,
+                                        name="visual")
         self.token_embedding = nn.Embed(cfg.vocab_size, cfg.transformer_width,
                                         embedding_init=nn.initializers.normal(0.02),
                                         param_dtype=jnp.float32,

@@ -183,3 +183,104 @@ class CLIPDensePredT(nn.Module):
         if return_features:
             return logits, visual_q, cond, [activation1] + activations
         return (logits,)
+
+    def visual_forward_masked(self, img_s, seg_s):
+        """Pooled embedding of a support image under a visual-prompt
+        attention mask (ref: models/clipseg.py:512-513: mask type
+        'cls_token' applied at all layers)."""
+        pooled = self.clip.visual(img_s, csa=True, dense=True,
+                                  mask=("cls_token", seg_s))
+        return jax.lax.stop_gradient(pooled)
+
+
+class CLIPDensePredTMasked(CLIPDensePredT):
+    """One-shot variant: conditioning comes from a masked support image
+    instead of text (ref: models/clipseg.py:500-525)."""
+
+    def __call__(self, img_q, cond_or_img_s, seg_s=None, return_features=False):
+        if seg_s is not None:
+            cond = self.visual_forward_masked(cond_or_img_s, seg_s)
+        else:
+            cond = cond_or_img_s
+        return super().__call__(img_q, cond, return_features=return_features)
+
+
+class CLIPDenseBaseline(nn.Module):
+    """Single-extract-layer baseline: reduce -> FiLM -> reduce2 MLP ->
+    trans_conv, no transformer decoder blocks
+    (ref: models/clipseg.py:529-589)."""
+
+    clip_cfg: CLIPConfig = VIT_B16
+    extract_layer: int = 9
+    reduce_dim: int = 128
+    reduce2_dim: int = 64
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.clip_cfg
+        self.clip = CLIP(cfg, dtype=self.dtype, name="clip")
+        self.reduce = nn.Dense(self.reduce_dim, dtype=self.dtype,
+                               param_dtype=jnp.float32, name="reduce")
+        self.reduce2a = nn.Dense(self.reduce2_dim, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="reduce2a")
+        self.reduce2b = nn.Dense(self.reduce_dim, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="reduce2b")
+        self.film_mul = nn.Dense(self.reduce_dim, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="film_mul")
+        self.film_add = nn.Dense(self.reduce_dim, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="film_add")
+        ks = {32: 32, 16: 16}[cfg.vision_patch_size]
+        self.trans_conv_kernel = self.param(
+            "trans_conv_kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (self.reduce_dim, ks, ks, 1), jnp.float32)
+        self.trans_conv_bias = self.param(
+            "trans_conv_bias", nn.initializers.zeros, (1,), jnp.float32)
+
+    def __call__(self, image, cond, return_features=False):
+        if jnp.issubdtype(cond.dtype, jnp.integer):
+            cond = jax.lax.stop_gradient(self.clip.encode_text(cond))
+        visual_q, activations = self.clip.visual_forward_dense(
+            image, extract_layers=[self.extract_layer])
+        a = jax.lax.stop_gradient(activations[0])
+        a = self.reduce(a)
+        a = self.film_mul(cond)[:, None, :] * a + self.film_add(cond)[:, None, :]
+        a = self.reduce2b(nn.relu(self.reduce2a(a)))
+        a = a[:, 1:, :]
+        bs, n_tok, d = a.shape
+        size = int(math.sqrt(n_tok))
+        a = a.reshape(bs, size, size, d)
+        a = conv_transpose2d_nonoverlap(
+            a, self.trans_conv_kernel.astype(a.dtype)) + self.trans_conv_bias
+        logits = a.astype(jnp.float32)
+        if return_features:
+            return logits, visual_q, cond, activations
+        return (logits,)
+
+
+# Pascal-VOC classes (the reference ships these as datasets/pascal_classes.json)
+PASCAL_VOC_CLASSES = (
+    "background", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+    "car", "cat", "chair", "cow", "diningtable", "dog", "horse", "motorbike",
+    "person", "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+
+
+def clipseg_multilabel(model: CLIPDensePredT, variables, image: jax.Array,
+                       class_conds: jax.Array,
+                       background_factor: float = 3.0) -> jax.Array:
+    """Pascal-VOC multi-class wrapper (ref: models/clipseg.py:592-625):
+    per-class sigmoid maps stacked onto a -10 base, background scaled 3x.
+
+    ``class_conds``: [21, cond] pre-encoded class-name embeddings (or
+    [21, ctx] tokens).  Returns [B, H, W, 21]."""
+    bs = image.shape[0]
+    maps = []
+    for class_id in range(class_conds.shape[0]):
+        cond = jnp.broadcast_to(class_conds[class_id][None],
+                                (bs, class_conds.shape[1])).astype(class_conds.dtype)
+        (logits,) = model.apply(variables, image, cond)
+        fac = background_factor if class_id == 0 else 1.0
+        maps.append(jax.nn.sigmoid(logits[..., 0]) * fac)
+    # base -10 + per-class prediction (ref: models/clipseg.py:611-620)
+    return jnp.stack(maps, axis=-1) - 10.0

@@ -37,6 +37,7 @@ def multi_head_attention(
     *,
     csa: bool = False,
     attn_bias: Optional[jax.Array] = None,
+    mult_mask: Optional[tuple] = None,
     return_weights: bool = False,
 ):
     """Attention core on projected q/k/v of shape [B, S, D].
@@ -44,6 +45,11 @@ def multi_head_attention(
     ``attn_bias``: additive [S, S] mask (e.g. causal -inf upper triangle),
     applied to the logits (standard path) — the reference never combines CSA
     with a causal mask, and neither do we.
+
+    ``mult_mask``: (mask_type, mask[B, S-1]) applied *multiplicatively to
+    the post-softmax weights* — the CLIPSeg visual-prompt masking
+    (ref: models/clipseg.py:111-119): 'cls_token' scales the CLS row's
+    attention to patches; 'all' scales every query's attention to patches.
     """
     qh = _split_heads(q, num_heads)
     kh = _split_heads(k, num_heads)
@@ -62,6 +68,18 @@ def multi_head_attention(
         if attn_bias is not None:
             logits = logits + attn_bias
         weights = jax.nn.softmax(logits, axis=-1)
+
+    if mult_mask is not None:
+        mask_type, mask = mult_mask  # mask: [B, S-1] over patch tokens
+        m = mask[:, None, :]  # [B, 1, S-1] broadcast over heads
+        if mask_type == "cls_token":
+            cls_row = weights[:, :, 0:1, 1:] * m[:, :, None, :]
+            weights = weights.at[:, :, 0:1, 1:].set(cls_row)
+        elif mask_type == "all":
+            body = weights[:, :, 1:, 1:] * m[:, :, None, :]
+            weights = weights.at[:, :, 1:, 1:].set(body)
+        else:
+            raise ValueError(f"unknown mult_mask type {mask_type!r}")
 
     out = jnp.einsum("bhst,bhtd->bhsd", weights.astype(v.dtype), vh,
                      preferred_element_type=jnp.float32).astype(v.dtype)
