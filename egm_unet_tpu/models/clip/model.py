@@ -143,6 +143,7 @@ class VisionTransformer(nn.Module):
         return_all: bool = False,
         dense: bool = False,
         mask=None,  # (mask_type, seg[B, h, w]) visual-prompt attention mask
+        return_affinities: bool = False,  # also collect per-layer attn maps
     ):
         cfg = self.cfg
         p = cfg.vision_patch_size
@@ -179,7 +180,7 @@ class VisionTransformer(nn.Module):
                                  mode="torch")
             mult_mask = (mask_type, seg.reshape(b, grid_hw[0] * grid_hw[1]))
 
-        activations = []
+        activations, affinities = [], []
         n_layers = cfg.vision_layers
         for i in range(n_layers):
             block = ResidualAttentionBlock(cfg.vision_width, cfg.vision_heads,
@@ -188,7 +189,14 @@ class VisionTransformer(nn.Module):
             # dense path: CSA in every block (ref: models/clipseg.py:236);
             # encode path: CSA only in the final block (ref: clip/model.py:247-251)
             use_csa = csa and (dense or i == n_layers - 1)
-            tokens = block(tokens, csa=use_csa, mult_mask=mult_mask)
+            want_aff = return_affinities and i in extract_layers
+            out = block(tokens, csa=use_csa, mult_mask=mult_mask,
+                        return_weights=want_aff)
+            if want_aff:
+                tokens, aff = out
+                affinities.append(aff)  # [B, heads, S, S] per-head attention
+            else:
+                tokens = out
             if i in extract_layers:
                 activations.append(tokens)
 
@@ -198,9 +206,36 @@ class VisionTransformer(nn.Module):
                           (cfg.vision_width, cfg.embed_dim), jnp.float32)
         pooled = (pooled.astype(jnp.float32) @ proj).astype(tokens.dtype)
 
+        if extract_layers and return_affinities:
+            return pooled, activations, affinities
         if extract_layers:
             return pooled, activations
         return pooled
+
+
+def get_attn(clip_module: "CLIP", variables, image, layer: str = "final",
+             csa: bool = True):
+    """Attention-map visualization helper (ref: clip/model.py:315-355):
+    'final' returns the last block's (optionally CSA) attention; 'all'
+    returns every layer's."""
+    cfg = clip_module.cfg
+    layers = ([cfg.vision_layers - 1] if layer == "final"
+              else list(range(cfg.vision_layers)))
+    if layer not in ("final", "all"):
+        raise ValueError("layer should be final or all")
+    # both modes run standard attention in blocks[:-1] and (optionally) CSA
+    # only in the last block — the encode-path convention
+    # (ref: clip/model.py:334-353)
+    _, _, affinities = clip_module.apply(
+        variables,
+        image,
+        csa=csa,
+        dense=False,
+        extract_layers=layers,
+        return_affinities=True,
+        method=lambda m, *a, **k: m.visual(*a, **k),
+    )
+    return affinities if layer == "all" else affinities[0]
 
 
 class CLIP(nn.Module):

@@ -102,7 +102,8 @@ def find_vocab(path: str | None = None) -> str:
 
 
 class SimpleTokenizer:
-    def __init__(self, bpe_path: str | None = None, merges: list | None = None):
+    def __init__(self, bpe_path: str | None = None, merges: list | None = None,
+                 native: bool = True):
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         if merges is None:
@@ -121,6 +122,9 @@ class SimpleTokenizer:
         self.cache = {"<|startoftext|>": "<|startoftext|>",
                       "<|endoftext|>": "<|endoftext|>"}
         self.pat = _token_pattern()
+        self._native = _NativeBPE(vocab, merges) if native else None
+        if self._native is not None and not self._native.ok:
+            self._native = None
 
     def bpe(self, token: str) -> str:
         if token in self.cache:
@@ -159,17 +163,66 @@ class SimpleTokenizer:
         return result
 
     def encode(self, text: str) -> List[int]:
+        """Pre-split in Python (exact regex parity); merge loop natively in
+        C++ when available (egm_unet_tpu/native/bpe.cpp), else in Python."""
         bpe_tokens: List[int] = []
         text = _whitespace_clean(_basic_clean(text)).lower()
         for token in self.pat.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
-            bpe_tokens.extend(self.encoder[t] for t in self.bpe(token).split(" "))
+            if self._native is not None:
+                bpe_tokens.extend(self._native.encode_word(token, self.encoder))
+            else:
+                bpe_tokens.extend(self.encoder[t] for t in self.bpe(token).split(" "))
         return bpe_tokens
 
     def decode(self, tokens) -> str:
         text = "".join(self.decoder[int(t)] for t in tokens)
         return (bytearray(self.byte_decoder[c] for c in text)
                 .decode("utf-8", errors="replace").replace("</w>", " "))
+
+
+class _NativeBPE:
+    """ctypes binding of the C++ merge loop; falls back silently."""
+
+    def __init__(self, vocab, merges):
+        self.ok = False
+        try:
+            import ctypes
+
+            from egm_unet_tpu.native import load_library
+
+            lib = load_library("bpe")
+            if lib is None:
+                return
+            lib.bpe_create.restype = ctypes.c_void_p
+            lib.bpe_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+            lib.bpe_encode_word.restype = ctypes.c_int32
+            lib.bpe_encode_word.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+            symbols = "\n".join(vocab).encode("utf-8")
+            ranks = "\n".join(f"{a} {b}" for a, b in merges).encode("utf-8")
+            self._lib = lib
+            self._handle = ctypes.c_void_p(lib.bpe_create(symbols, ranks))
+            self._ctypes = ctypes
+            self._cache: dict = {}
+            self.ok = True
+        except Exception:
+            self.ok = False
+
+    def encode_word(self, token: str, encoder) -> list:
+        cached = self._cache.get(token)
+        if cached is not None:
+            return cached
+        ct = self._ctypes
+        init = [encoder[c] for c in token[:-1]] + [encoder[token[-1] + "</w>"]]
+        n = len(init)
+        in_arr = (ct.c_int32 * n)(*init)
+        out_arr = (ct.c_int32 * n)()
+        m = self._lib.bpe_encode_word(self._handle, in_arr, n, out_arr, n)
+        ids = list(out_arr[:m])
+        self._cache[token] = ids
+        return ids
 
 
 _tokenizer_cache: dict = {}

@@ -94,19 +94,29 @@ def _nearest_matrix(n_in: int, n_out: int, mode: str) -> np.ndarray:
 
 
 def _apply_separable(x: jax.Array, ah: np.ndarray, aw: np.ndarray) -> jax.Array:
-    """Apply (H_out,H_in) and (W_out,W_in) matrices to NHWC or HWC or HW."""
+    """Apply (H_out,H_in) and (W_out,W_in) matrices to NHWC or HWC or HW.
+
+    Matmuls run in the input dtype (bf16 stays bf16 on the MXU — forcing
+    fp32 here doubled the decoder's HBM traffic and halved throughput) with
+    fp32 accumulation via preferred_element_type; interpolation weights are
+    cast to the input dtype (f32 inputs keep exact f32 weights, preserving
+    the PyTorch-parity tests).
+    """
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    ah_j = jnp.asarray(ah)
-    aw_j = jnp.asarray(aw)
+    compute = dtype if dtype in (jnp.float32, jnp.bfloat16, jnp.float16) else jnp.float32
+    xf = x.astype(compute)
+    ah_j = jnp.asarray(ah, compute)
+    aw_j = jnp.asarray(aw, compute)
+    kw = dict(preferred_element_type=jnp.float32)
     if x.ndim == 4:  # NHWC
-        y = jnp.einsum("ph,bhwc->bpwc", ah_j, xf)
-        y = jnp.einsum("qw,bpwc->bpqc", aw_j, y)
+        y = jnp.einsum("ph,bhwc->bpwc", ah_j, xf, **kw).astype(compute)
+        y = jnp.einsum("qw,bpwc->bpqc", aw_j, y, **kw)
     elif x.ndim == 3:  # HWC
-        y = jnp.einsum("ph,hwc->pwc", ah_j, xf)
-        y = jnp.einsum("qw,pwc->pqc", aw_j, y)
+        y = jnp.einsum("ph,hwc->pwc", ah_j, xf, **kw).astype(compute)
+        y = jnp.einsum("qw,pwc->pqc", aw_j, y, **kw)
     elif x.ndim == 2:  # HW
-        y = ah_j @ xf @ aw_j.T
+        y = jnp.einsum("ph,hw->pw", ah_j, xf, **kw).astype(compute)
+        y = jnp.einsum("qw,pw->pq", aw_j, y, **kw)
     else:
         raise ValueError(f"rank {x.ndim} not supported")
     return y.astype(dtype)
