@@ -19,7 +19,16 @@ from egm_unet_tpu.nn.layers import BasicConv, Conv, EdgeAwareFeatureEnhancer
 class FusionConv(nn.Module):
     """concat -> 1x1 down to out/4 -> (3x3+5x5+7x7 summed) x spatial-attn,
     combined with channel attention: up(res + s*c)
-    (ref: src/EGM-UNet.py:1202-1236)."""
+    (ref: src/EGM-UNet.py:1202-1236).
+
+    TPU rewrites (bit-equivalent, parameters keep the reference shapes):
+    - when x1 is x2 (the only live call pattern, ref: src/EGM-UNet.py:1312
+      passes concat_feat twice), ``cat([x,x]) @ W == x @ (W_top + W_bot)`` —
+      the 2C concat is never materialized;
+    - ``conv3(x)+conv5(x)+conv7(x)`` folds into ONE 7x7 conv whose kernel is
+      ``W7 + pad(W5) + pad(W3)`` (SAME padding makes the sums align exactly)
+      — one MXU pass instead of three.
+    """
 
     features: int
     factor: float = 4.0
@@ -27,15 +36,46 @@ class FusionConv(nn.Module):
 
     @nn.compact
     def __call__(self, x1, x2):
+        from egm_unet_tpu.nn.layers import torch_bias_init, torch_kernel_init
+        from egm_unet_tpu.ops.conv import conv2d
+
         dim = int(self.features // self.factor)
-        x = jnp.concatenate([x1, x2], axis=-1)
-        x = Conv(dim, 1, dtype=self.dtype, name="down")(x)
+        cin = x1.shape[-1] + x2.shape[-1]
+
+        w_down = self.param("down_kernel", torch_kernel_init, (1, 1, cin, dim),
+                            jnp.float32)
+        b_down = self.param(
+            "down_bias",
+            lambda k, s, d=jnp.float32: torch_bias_init(k, s, d, fan_in=cin),
+            (dim,))
+        if x1 is x2:
+            half = x1.shape[-1]
+            w_eff = (w_down[:, :, :half] + w_down[:, :, half:]).astype(x1.dtype)
+            x = conv2d(x1, w_eff) + b_down.astype(x1.dtype)
+        else:
+            xcat = jnp.concatenate([x1, x2], axis=-1)
+            x = conv2d(xcat, w_down.astype(xcat.dtype)) + b_down.astype(xcat.dtype)
         res = x
-        s = (
-            Conv(dim, 3, padding=1, dtype=self.dtype, name="conv3")(x)
-            + Conv(dim, 5, padding=2, dtype=self.dtype, name="conv5")(x)
-            + Conv(dim, 7, padding=3, dtype=self.dtype, name="conv7")(x)
-        )
+
+        fan = lambda k: dim * k * k
+        w3 = self.param("conv3_kernel", torch_kernel_init, (3, 3, dim, dim), jnp.float32)
+        b3 = self.param("conv3_bias",
+                        lambda k, s, d=jnp.float32: torch_bias_init(k, s, d, fan(3)),
+                        (dim,))
+        w5 = self.param("conv5_kernel", torch_kernel_init, (5, 5, dim, dim), jnp.float32)
+        b5 = self.param("conv5_bias",
+                        lambda k, s, d=jnp.float32: torch_bias_init(k, s, d, fan(5)),
+                        (dim,))
+        w7 = self.param("conv7_kernel", torch_kernel_init, (7, 7, dim, dim), jnp.float32)
+        b7 = self.param("conv7_bias",
+                        lambda k, s, d=jnp.float32: torch_bias_init(k, s, d, fan(7)),
+                        (dim,))
+        w_merged = (w7
+                    + jnp.pad(w5, ((1, 1), (1, 1), (0, 0), (0, 0)))
+                    + jnp.pad(w3, ((2, 2), (2, 2), (0, 0), (0, 0))))
+        s = conv2d(x, w_merged.astype(x.dtype), padding=3) + (
+            b3 + b5 + b7).astype(x.dtype)
+
         s = s * SpatialAttention(dtype=self.dtype, name="spatial")(s)
         c = ChannelAttention(dtype=self.dtype, name="channel")(x)
         return Conv(self.features, 1, dtype=self.dtype, name="up")(res + s * c)

@@ -394,11 +394,18 @@ def set_rga(t: TRGA, fp: dict):
     set_conv(t.proj_out, fp["proj_out"])
 
 
+def _set_raw_conv(tconv, kernel, bias=None):
+    tconv.weight.data = torch.from_numpy(
+        np.transpose(_np(kernel), (3, 2, 0, 1)).copy())
+    if bias is not None:
+        tconv.bias.data = torch.from_numpy(_np(bias).copy())
+
+
 def set_fusion(t: TFusionConv, fp: dict):
-    set_conv(t.down, fp["down"])
-    set_conv(t.conv3, fp["conv3"])
-    set_conv(t.conv5, fp["conv5"])
-    set_conv(t.conv7, fp["conv7"])
+    _set_raw_conv(t.down, fp["down_kernel"], fp["down_bias"])
+    _set_raw_conv(t.conv3, fp["conv3_kernel"], fp["conv3_bias"])
+    _set_raw_conv(t.conv5, fp["conv5_kernel"], fp["conv5_bias"])
+    _set_raw_conv(t.conv7, fp["conv7_kernel"], fp["conv7_bias"])
     set_conv(t.spatial.conv, fp["spatial"]["Conv_0"])
     set_conv(t.channel.down, fp["channel"]["fc_down"])
     set_conv(t.channel.up, fp["channel"]["fc_up"])
