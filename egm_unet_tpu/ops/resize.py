@@ -163,11 +163,21 @@ def _apply_separable(x: jax.Array, ah: np.ndarray, aw: np.ndarray) -> jax.Array:
     return y.astype(dtype)
 
 
-def resize_bilinear(x: jax.Array, out_hw, align_corners: bool = False) -> jax.Array:
+def resize_bilinear(x: jax.Array, out_hw, align_corners: bool = False,
+                    impl: str = "matmul") -> jax.Array:
+    """``impl='matmul'`` (default): separable interpolation-matrix matmuls —
+    measured faster on TPU than the two-tap gather form (``impl='gather'``),
+    which we benchmarked at +8 ms/iter on the EGM decoder despite avoiding
+    layout-change copies."""
     h_out, w_out = int(out_hw[0]), int(out_hw[1])
-    ax_h, ax_w = _spatial_axes(x.ndim)
-    y = _linear_axis(x, ax_h, h_out, align_corners)
-    return _linear_axis(y, ax_w, w_out, align_corners)
+    if impl == "gather":
+        ax_h, ax_w = _spatial_axes(x.ndim)
+        y = _linear_axis(x, ax_h, h_out, align_corners)
+        return _linear_axis(y, ax_w, w_out, align_corners)
+    h_in, w_in = (x.shape[1], x.shape[2]) if x.ndim == 4 else (x.shape[0], x.shape[1])
+    return _apply_separable(
+        x, _linear_matrix(h_in, h_out, align_corners),
+        _linear_matrix(w_in, w_out, align_corners))
 
 
 def resize_bicubic(x: jax.Array, out_hw, align_corners: bool = False) -> jax.Array:
