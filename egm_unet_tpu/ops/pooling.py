@@ -23,13 +23,38 @@ def _pair(v):
     return int(v), int(v)
 
 
-def max_pool2d(x: jax.Array, kernel=2, stride=None, padding=0) -> jax.Array:
+def max_pool2d(x: jax.Array, kernel=2, stride=None, padding=0,
+               impl: str = "reduce_window") -> jax.Array:
+    """Max pool, torch floor-mode semantics.
+
+    Two implementations, measured on TPU v5e (EGM 512px inference):
+    reduce_window costs layout-change copies around adjacent convs
+    (~15 ms/iter) but the alternative 'slices' form (elementwise max over
+    kh*kw shifted strided slices) measured even slower (+50 ms/iter — the
+    taps don't fuse).  reduce_window stays the default; 'slices' is kept
+    for experimentation.
+    """
     kh, kw = _pair(kernel)
     sh, sw = _pair(stride if stride is not None else kernel)
     ph, pw = _pair(padding)
-    # -inf (not finfo.min) so JAX recognizes the max-pool reduce_window and
-    # provides its reverse-mode gradient.
     neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+
+    if impl == "slices":
+        h, w = x.shape[1], x.shape[2]
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+                        constant_values=neg)
+            h, w = h + 2 * ph, w + 2 * pw
+        oh = (h - kh) // sh + 1
+        ow = (w - kw) // sw + 1
+        out = None
+        for dy in range(kh):
+            for dx in range(kw):
+                tap = x[:, dy : dy + (oh - 1) * sh + 1 : sh,
+                        dx : dx + (ow - 1) * sw + 1 : sw]
+                out = tap if out is None else jnp.maximum(out, tap)
+        return out
+
     return lax.reduce_window(
         x,
         neg,
