@@ -126,7 +126,8 @@ def _rga(sd, prefix, order: int = 2):
     p = {"proj_in": _conv(sd, f"{prefix}.proj_in"),
          "dwconv": _conv(sd, f"{prefix}.dwconv"),
          "proj_out": _conv(sd, f"{prefix}.proj_out"),
-         "scale": _t(sd[f"{prefix}.scale"])}
+         # reference scale is a 0-d tensor; tolerate (1,) exports too
+         "scale": _t(sd[f"{prefix}.scale"]).reshape(())}
     for i in range(order):
         p[f"gate{i}_down"] = _conv(sd, f"{prefix}.gate_convs.{i}.0")
         p[f"gate{i}_up"] = _conv(sd, f"{prefix}.gate_convs.{i}.2")
