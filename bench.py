@@ -58,7 +58,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="egm_unet")
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--batches", type=str, default="8,16")
+    p.add_argument("--batches", type=str, default="16,32")
     p.add_argument("--n1", type=int, default=2)
     p.add_argument("--n2", type=int, default=12)
     p.add_argument("--repeats", type=int, default=3)

@@ -36,6 +36,10 @@ def parse_args(argv=None):
                    help="bf16 compute (TPU equivalent of torch AMP)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-size", default=64, type=int)
+    p.add_argument("--device-aug", action="store_true",
+                   help="run scale/crop/flip/normalize on device as one "
+                        "fused program (data/device_aug.py) instead of "
+                        "host-side PIL transforms")
     p.add_argument("--eval-size", default=565, type=int)
     p.add_argument("--mesh-data", default=None, type=int)
     p.add_argument("--save-dir", default="save_weights")
@@ -63,12 +67,48 @@ def main(argv=None):
     num_classes = args.num_classes + 1
     dtype = jnp.bfloat16 if args.amp else jnp.float32
 
+    if args.device_aug:
+        # host loads raw sources at a fixed shape; the augmentation runs on
+        # device as one jitted program per batch
+        from egm_unet_tpu.data.transforms import TP_MEAN, TP_STD, resize_short_side
+
+        crop = args.synthetic_size if args.synthetic else 480
+        src_h = max(2 * crop, crop + 32)
+        src_w = src_h
+
+        class RawSource:
+            def __call__(self, image, target):
+                image, target = resize_short_side(image, target, src_h)
+                img = np.zeros((src_h, src_w, 3), np.float32)
+                tgt = np.zeros((src_h, src_w), np.int32)
+                h, w = min(image.shape[0], src_h), min(image.shape[1], src_w)
+                img[:h, :w] = image[:h, :w] / 255.0
+                tgt[:h, :w] = target[:h, :w]
+                return img, tgt
+
+        train_tf = RawSource()
+        dev_mean, dev_std = jnp.asarray(TP_MEAN), jnp.asarray(TP_STD)
+        aug_key = jax.random.key(args.seed + 1)
+
+        from egm_unet_tpu.data.device_aug import augment_batch
+
+        def device_augment(key, images, targets):
+            # short side scaled into [0.5, 1.2] x source, like the reference's
+            # RandomResize relative to base_size (ref: train.py:17-18)
+            return augment_batch(key, images, targets, dev_mean, dev_std,
+                                 crop_size=crop,
+                                 min_size=int(0.5 * src_h),
+                                 max_size=int(1.2 * src_h))
+    else:
+        train_tf = TrainTransform(crop_size=(args.synthetic_size if args.synthetic else 480),
+                                  seed=args.seed)
+        device_augment = None
+
     if args.synthetic:
-        train_ds = SyntheticTPDataset(
-            n=args.batch_size * 4, transforms=TrainTransform(crop_size=args.synthetic_size))
+        train_ds = SyntheticTPDataset(n=args.batch_size * 4, transforms=train_tf)
         val_ds = SyntheticTPDataset(n=8, transforms=EvalTransform(args.eval_size))
     else:
-        train_ds = DriveDataset(args.data_path, TrainTransform(seed=args.seed), "train.txt")
+        train_ds = DriveDataset(args.data_path, train_tf, "train.txt")
         val_ds = DriveDataset(args.data_path, EvalTransform(args.eval_size), "val.txt")
 
     train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
@@ -112,6 +152,10 @@ def main(argv=None):
             logger = MetricLogger()
             for images, targets in logger.log_every(
                     iter(train_loader), args.print_freq, f"Epoch: [{epoch}]"):
+                if device_augment is not None:
+                    aug_key, k = jax.random.split(aug_key)
+                    images, targets = device_augment(
+                        k, jnp.asarray(images), jnp.asarray(targets))
                 images = jnp.asarray(images, dtype)
                 targets = jnp.asarray(targets)
                 if mesh:
