@@ -29,6 +29,15 @@ from egm_unet_tpu.ops.attention import multi_head_attention
 from egm_unet_tpu.ops.conv import conv_transpose2d_nonoverlap
 
 
+def sample_prompts(words, prompt_list, rng=None):
+    """Random template per word (ref: models/clipseg.py:258-264)."""
+    import numpy as np
+
+    rng = rng or np.random.default_rng()
+    idx = rng.integers(0, len(prompt_list), size=len(words))
+    return [prompt_list[i].format(w) for i, w in zip(idx, words)]
+
+
 def get_prompt_list(prompt: str):
     """ref: models/clipseg.py:10-22."""
     if prompt == "plain":
