@@ -58,7 +58,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="egm_unet")
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--batches", type=str, default="16,32")
+    # batch 128 is the measured sweet spot on v5e: with B == the 128-lane
+    # width XLA tiles the batch into lanes and the small-channel layout
+    # conflicts (PERF.md) disappear — 463 img/s vs 124 at batch 16.
+    p.add_argument("--batches", type=str, default="16,128")
     p.add_argument("--n1", type=int, default=2)
     p.add_argument("--n2", type=int, default=12)
     p.add_argument("--repeats", type=int, default=3)
