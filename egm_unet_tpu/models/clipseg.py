@@ -94,11 +94,13 @@ class CLIPDensePredT(nn.Module):
     extra_blocks: int = 0
     rev_activations: bool = False
     complex_trans_conv: bool = False
+    attn_impl: str = "xla"  # 'pallas' = fused CSA kernel on TPU
     dtype: Any = jnp.float32
 
     def setup(self):
         cfg = self.clip_cfg
-        self.clip = CLIP(cfg, dtype=self.dtype, name="clip")
+        self.clip = CLIP(cfg, dtype=self.dtype, attn_impl=self.attn_impl,
+                         name="clip")
         depth = len(self.extract_layers)
         self.reduces = [
             nn.Dense(self.reduce_dim, dtype=self.dtype, param_dtype=jnp.float32,
