@@ -36,12 +36,11 @@ def _conv1d_same(v: jax.Array, kernel: jax.Array) -> jax.Array:
     k = kernel.shape[0]
     pad = (k - 1) // 2
     out = lax.conv_general_dilated(
-        v[:, :, None],  # N L C
-        kernel[:, None, None],  # H I O
+        v[:, :, None].astype(jnp.float32),  # N L C
+        kernel[:, None, None].astype(jnp.float32),  # H I O
         window_strides=(1,),
         padding=((pad, pad),),
         dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
     )
     return out[:, :, 0].astype(v.dtype)
 

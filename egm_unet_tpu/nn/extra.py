@@ -38,11 +38,10 @@ class ELA(nn.Module):
 
         def gate(v):  # [B, L, C] -> sigmoid(GN(dwconv1d(v)))
             y = jax.lax.conv_general_dilated(
-                v, kernel.reshape(k, 1, c),  # (k, 1, C) HIO
+                v.astype(jnp.float32), kernel.reshape(k, 1, c),  # (k,1,C) HIO
                 window_strides=(1,), padding=((k // 2, k // 2),),
                 dimension_numbers=("NHC", "HIO", "NHC"),
-                feature_group_count=c,
-                preferred_element_type=jnp.float32).astype(v.dtype)
+                feature_group_count=c).astype(v.dtype)
             return jax.nn.sigmoid(gn(y))
 
         x_h = gate(jnp.mean(x, axis=2))[:, :, None, :]  # gate along H

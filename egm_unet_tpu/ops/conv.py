@@ -35,28 +35,27 @@ def conv2d(
     padding: int | Sequence[int] = 0,
     dilation: int | Sequence[int] = 1,
     groups: int = 1,
-    preferred_dtype=jnp.float32,
 ) -> jax.Array:
     """2-D convolution, NHWC x HWIO -> NHWC.
 
-    ``w`` has shape (kh, kw, in_ch // groups, out_ch).  Accumulation happens
-    in ``preferred_dtype`` (fp32 by default) regardless of the input dtype so
-    bf16 activations keep fp32 precision on the MXU.
+    ``w`` has shape (kh, kw, in_ch // groups, out_ch).  Output is in the
+    input dtype; for bf16 inputs the TPU MXU still accumulates in fp32
+    internally.  (We deliberately do NOT pass preferred_element_type: its
+    f32 upcast has a broken conv-transpose VJP with bf16 primals in
+    jax 0.9 — 'requires arguments to have the same dtypes'.)
     """
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     dh, dw = _pair(dilation)
-    out = lax.conv_general_dilated(
+    return lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=(sh, sw),
         padding=((ph, ph), (pw, pw)),
         rhs_dilation=(dh, dw),
         dimension_numbers=_DIMNUMS,
         feature_group_count=groups,
-        preferred_element_type=preferred_dtype,
     )
-    return out.astype(x.dtype)
 
 
 def depthwise_conv2d(

@@ -85,6 +85,8 @@ def avg_pool2d(x: jax.Array, kernel=3, stride=1, padding=1) -> jax.Array:
     c = x.shape[-1]
     w = jnp.full((kh, kw, 1, 1), 1.0 / (kh * kw), x.dtype)
     w = jnp.broadcast_to(w, (kh, kw, 1, c))
+    # no preferred_element_type: f32 upcast has a broken conv VJP with bf16
+    # primals in jax 0.9 (see ops/conv.py); MXU accumulates f32 regardless
     return lax.conv_general_dilated(
         x,
         w,
@@ -92,8 +94,7 @@ def avg_pool2d(x: jax.Array, kernel=3, stride=1, padding=1) -> jax.Array:
         padding=((ph, ph), (pw, pw)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def global_avg_pool(x: jax.Array, axes=(1, 2), keepdims: bool = False) -> jax.Array:

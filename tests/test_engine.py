@@ -112,3 +112,17 @@ def test_sgd_matches_torch(rng):
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         np.testing.assert_allclose(np.asarray(params["w"]), tparam.detach().numpy(),
                                    rtol=1e-5, atol=1e-6, err_msg=f"step {i}")
+
+
+def test_bf16_train_step():
+    """Regression: bf16 training crashed with a conv-VJP dtype mismatch when
+    convs passed preferred_element_type=f32 (jax 0.9)."""
+    import jax.numpy as jnp
+
+    model = create_model("egm_unet", base_c=8, dtype=jnp.bfloat16)
+    sched = warmup_poly_schedule(0.02, 4, 2)
+    state = create_train_state(model, jax.random.key(0), (1, 64, 64, 3), sched)
+    step_fn = jax.jit(make_train_step(num_classes=2))
+    imgs, tgts = synthetic_tp_batch(2, 64)
+    state, aux = step_fn(state, jnp.asarray(imgs, jnp.bfloat16), jnp.asarray(tgts))
+    assert np.isfinite(float(aux["loss"]))
