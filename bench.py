@@ -45,13 +45,79 @@ def chained_forward(model, variables, x0, n_iters: int):
     return run
 
 
-def time_fetch(fn, variables, x, repeats: int = 3) -> float:
+def chained_train(step_fn, n_iters: int):
+    """One jit program running n full train steps (state threads through the
+    scan carry, so the chain is inherently serial); returns the summed loss
+    (depends on every step) as the fetch scalar."""
+
+    @jax.jit
+    def run(state, images, targets):
+        def body(carry, _):
+            new_state, aux = step_fn(carry, images, targets)
+            return new_state, aux["loss"]
+
+        _, losses = lax.scan(body, state, None, length=n_iters)
+        return jnp.sum(losses.astype(jnp.float32))
+
+    return run
+
+
+def time_fetch(fn, *args, repeats: int = 3) -> float:
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(fn(variables, x))  # forces full execution + fetch
+        float(fn(*args))  # forces full execution + fetch
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def bench_train(args):
+    """Train-step throughput at the reference's 480² crop (BASELINE.md
+    recipe: SGD lr .02, CE+dice+edge losses — the full make_train_step)."""
+    from egm_unet_tpu.engine import (create_train_state, make_train_step,
+                                     warmup_poly_schedule)
+    from egm_unet_tpu.models import create_model
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = create_model(args.model, base_c=32, num_classes=2, dtype=dtype)
+    sched = warmup_poly_schedule(0.02, num_step=100, epochs=200)
+    state = create_train_state(model, jax.random.key(0), (1, 64, 64, 3), sched)
+    step_fn = make_train_step(num_classes=2)
+    rng = np.random.default_rng(0)
+
+    best, best_bs, best_ms = 0.0, 0, 0.0
+    for bs in [int(b) for b in args.batches.split(",")]:
+        images = jnp.asarray(rng.standard_normal(
+            (bs, args.size, args.size, 3), dtype=np.float32), dtype)
+        targets = jnp.asarray(rng.integers(0, 2, (bs, args.size, args.size)),
+                              jnp.int32)
+        try:
+            run1 = chained_train(step_fn, args.n1)
+            run2 = chained_train(step_fn, args.n2)
+            float(run1(state, images, targets))  # compile + warm
+            float(run2(state, images, targets))
+            t1 = time_fetch(run1, state, images, targets, repeats=args.repeats)
+            t2 = time_fetch(run2, state, images, targets, repeats=args.repeats)
+        except Exception as e:  # OOM etc.
+            print(f"# train batch {bs} failed: {type(e).__name__}: {e}", flush=True)
+            continue
+        per_iter = max((t2 - t1) / (args.n2 - args.n1), 1e-9)
+        ips = bs / per_iter
+        print(f"# train batch {bs}: {ips:.1f} img/s ({per_iter * 1e3:.2f} ms/step; "
+              f"t1={t1:.3f}s t2={t2:.3f}s)", flush=True)
+        if ips > best:
+            best, best_bs, best_ms = ips, bs, per_iter * 1e3
+
+    print(json.dumps({
+        "metric": f"{args.model}_{args.size}px_train_throughput",
+        "value": round(best, 1),
+        "unit": "images/s/chip",
+        "vs_baseline": round(best / 2000.0, 4),
+        "batch": best_bs,
+        "ms_per_step": round(best_ms, 3),
+        "dtype": args.dtype,
+        "device": str(jax.devices()[0]),
+    }))
 
 
 def main():
@@ -66,18 +132,34 @@ def main():
     p.add_argument("--n2", type=int, default=12)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--no-fold-bn", action="store_true",
+                   help="disable inference BN folding (measure the raw graph)")
+    p.add_argument("--mode", default="inference", choices=["inference", "train"],
+                   help="train: full train-step throughput (CE+dice+edge "
+                        "losses, SGD update, sync-BN) at --size crops")
     args = p.parse_args()
 
+    if args.mode == "train":
+        return bench_train(args)
+
     from egm_unet_tpu.models import create_model
+    from egm_unet_tpu.models.fold_bn import fold_bn_variables
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = create_model(args.model, base_c=32, num_classes=2, dtype=dtype)
-    variables = model.init(jax.random.key(0),
-                           jnp.zeros((1, args.size, args.size, 3), dtype), train=True)
+    fold = not args.no_fold_bn
+    model = create_model(args.model, base_c=32, num_classes=2, dtype=dtype,
+                         fold_bn=fold)
+    init_model = create_model(args.model, base_c=32, num_classes=2, dtype=dtype)
+    variables = init_model.init(jax.random.key(0),
+                                jnp.zeros((1, args.size, args.size, 3), dtype),
+                                train=True)
     variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    if fold:
+        # deployment transform: conv+BN+ReLU -> conv+bias+ReLU, exact at f32
+        variables = fold_bn_variables(variables)
     if dtype == jnp.bfloat16:
         # deployment-style weight cast (like torch .half()): removes the
-        # bf16<->f32 convert fusions around BN params (+4% measured)
+        # bf16<->f32 convert fusions around f32 params (+4% measured)
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables)
 

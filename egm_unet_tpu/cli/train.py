@@ -150,6 +150,23 @@ def main(argv=None):
         t_start = time.time()
         for epoch in range(start_epoch, args.epochs):
             logger = MetricLogger()
+            # per-step scalar fetches serialize the device through the host
+            # (on a tunneled TPU one fetch can cost seconds) — keep aux
+            # scalars device-resident and fetch one stacked array per
+            # print_freq window instead (ref contract: the per-step meter
+            # postings of train_utils/train_and_eval.py:43-75)
+            pending = []
+
+            def flush_pending():
+                if not pending:
+                    return
+                losses = np.asarray(jnp.stack([a["loss"] for a in pending]))
+                lrs = np.asarray(jnp.stack([a["lr"] for a in pending]))
+                for lo, lr_ in zip(losses, lrs):
+                    logger.update(loss=float(lo), lr=float(lr_))
+                pending.clear()
+
+            step_i = 0
             for images, targets in logger.log_every(
                     iter(train_loader), args.print_freq, f"Epoch: [{epoch}]"):
                 if device_augment is not None:
@@ -161,7 +178,11 @@ def main(argv=None):
                 if mesh:
                     images, targets = shard_batch(mesh, images, targets)
                 state, aux = train_step(state, images, targets)
-                logger.update(loss=float(aux["loss"]), lr=float(aux["lr"]))
+                pending.append(aux)
+                if step_i % args.print_freq == 0:  # logger prints after this body
+                    flush_pending()
+                step_i += 1
+            flush_pending()
             mean_loss = logger.meters["loss"].global_avg
             lr = logger.meters["lr"].value
 

@@ -38,20 +38,23 @@ class DoubleConv1(nn.Module):
     block: Optional[str] = "edge"  # 'edge' | 'grfb' | None
     use_mca: bool = True
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = self.mid_features or self.features
-        x = ConvBNReLU(mid, self.dtype, name="conv1")(x, train)
+        x = ConvBNReLU(mid, self.dtype, fold_bn=self.fold_bn, name="conv1")(x, train)
         if self.use_mca:
             x = MCALayer(dtype=self.dtype, name="mca")(x)
-        x = ConvBNReLU(self.features, self.dtype, name="conv2")(x, train)
+        x = ConvBNReLU(self.features, self.dtype, fold_bn=self.fold_bn,
+                       name="conv2")(x, train)
         if self.block == "edge":
             x = EdgeEnhancedGRFB(self.features, stride=1, scale=0.1, visual=12,
-                                 dtype=self.dtype, name="egrfb")(x, train)
+                                 dtype=self.dtype, fold_bn=self.fold_bn,
+                                 name="egrfb")(x, train)
         elif self.block == "grfb":
             x = GRFB(self.features, stride=1, scale=0.1, visual=12,
-                     dtype=self.dtype, name="grfb")(x, train)
+                     dtype=self.dtype, fold_bn=self.fold_bn, name="grfb")(x, train)
         return x
 
 
@@ -67,6 +70,7 @@ class EGMUNet(nn.Module):
     use_rga: bool = True
     use_mca: bool = True
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -75,9 +79,10 @@ class EGMUNet(nn.Module):
 
         def down(feats, name):
             return DoubleConv1(feats, block=self.block, use_mca=self.use_mca,
-                               dtype=self.dtype, name=name)
+                               dtype=self.dtype, fold_bn=self.fold_bn, name=name)
 
-        x1 = DoubleConv(c, dtype=self.dtype, name="in_conv")(x, train)
+        x1 = DoubleConv(c, dtype=self.dtype, fold_bn=self.fold_bn,
+                        name="in_conv")(x, train)
         x2 = down(c * 2, "down1")(max_pool2d(x1), train)
         x3 = down(c * 4, "down2")(max_pool2d(x2), train)
         x4 = down(c * 8, "down3")(max_pool2d(x3), train)
@@ -87,9 +92,10 @@ class EGMUNet(nn.Module):
             x5 = RecursiveGatedAttention(dim=c * 16 // factor, dtype=self.dtype,
                                          name="attn1")(x5)
 
-        x = Up(c * 8 // factor, self.bilinear, self.dtype, name="up1")(x5, x4, train)
-        x = Up(c * 4 // factor, self.bilinear, self.dtype, name="up2")(x, x3, train)
-        x = Up(c * 2 // factor, self.bilinear, self.dtype, name="up3")(x, x2, train)
-        x = Up(c, self.bilinear, self.dtype, name="up4")(x, x1, train)
+        fb = self.fold_bn
+        x = Up(c * 8 // factor, self.bilinear, self.dtype, fb, name="up1")(x5, x4, train)
+        x = Up(c * 4 // factor, self.bilinear, self.dtype, fb, name="up2")(x, x3, train)
+        x = Up(c * 2 // factor, self.bilinear, self.dtype, fb, name="up3")(x, x2, train)
+        x = Up(c, self.bilinear, self.dtype, fb, name="up4")(x, x1, train)
         logits = Conv(self.num_classes, 1, dtype=self.dtype, name="out_conv")(x)
         return {"out": logits.astype(jnp.float32)}

@@ -36,19 +36,20 @@ class Up(nn.Module):
     features: int
     bilinear: bool = True
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
         if self.bilinear:
             x1 = upsample2x_bilinear_align_corners(x1)
             conv = DoubleConv(self.features, mid_features=(x1.shape[-1] + x2.shape[-1]) // 2,
-                              dtype=self.dtype)
+                              dtype=self.dtype, fold_bn=self.fold_bn)
         else:
             cin = x1.shape[-1]
             w = self.param("up_kernel", nn.initializers.variance_scaling(
                 1.0 / 3.0, "fan_in", "uniform"), (cin, 2, 2, cin // 2), jnp.float32)
             x1 = conv_transpose2d_nonoverlap(x1, w.astype(x1.dtype))
-            conv = DoubleConv(self.features, dtype=self.dtype)
+            conv = DoubleConv(self.features, dtype=self.dtype, fold_bn=self.fold_bn)
         x1 = pad_to_match(x1, x2)
         x = jnp.concatenate([x2, x1], axis=-1)
         return conv(x, train)
@@ -60,19 +61,25 @@ class UNet(nn.Module):
     bilinear: bool = True
     base_c: int = 64
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.base_c
         factor = 2 if self.bilinear else 1
-        x1 = DoubleConv(c, dtype=self.dtype, name="in_conv")(x, train)
-        x2 = DoubleConv(c * 2, dtype=self.dtype, name="down1")(max_pool2d(x1), train)
-        x3 = DoubleConv(c * 4, dtype=self.dtype, name="down2")(max_pool2d(x2), train)
-        x4 = DoubleConv(c * 8, dtype=self.dtype, name="down3")(max_pool2d(x3), train)
-        x5 = DoubleConv(c * 16 // factor, dtype=self.dtype, name="down4")(max_pool2d(x4), train)
-        x = Up(c * 8 // factor, self.bilinear, self.dtype, name="up1")(x5, x4, train)
-        x = Up(c * 4 // factor, self.bilinear, self.dtype, name="up2")(x, x3, train)
-        x = Up(c * 2 // factor, self.bilinear, self.dtype, name="up3")(x, x2, train)
-        x = Up(c, self.bilinear, self.dtype, name="up4")(x, x1, train)
+        fb = self.fold_bn
+
+        def dc(feats, name):
+            return DoubleConv(feats, dtype=self.dtype, fold_bn=fb, name=name)
+
+        x1 = dc(c, "in_conv")(x, train)
+        x2 = dc(c * 2, "down1")(max_pool2d(x1), train)
+        x3 = dc(c * 4, "down2")(max_pool2d(x2), train)
+        x4 = dc(c * 8, "down3")(max_pool2d(x3), train)
+        x5 = dc(c * 16 // factor, "down4")(max_pool2d(x4), train)
+        x = Up(c * 8 // factor, self.bilinear, self.dtype, fb, name="up1")(x5, x4, train)
+        x = Up(c * 4 // factor, self.bilinear, self.dtype, fb, name="up2")(x, x3, train)
+        x = Up(c * 2 // factor, self.bilinear, self.dtype, fb, name="up3")(x, x2, train)
+        x = Up(c, self.bilinear, self.dtype, fb, name="up4")(x, x1, train)
         logits = Conv(self.num_classes, 1, dtype=self.dtype, name="out_conv")(x)
         return {"out": logits.astype(jnp.float32)}

@@ -96,41 +96,46 @@ class EdgeEnhancedGRFB(nn.Module):
     visual: int = 12
     fusion_factor: float = 4.0
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import functools
+
         inter = max(x.shape[-1] // 8, 4)
         v = self.visual
         identity = x
+        BC = functools.partial(BasicConv, dtype=self.dtype, fold_bn=self.fold_bn)
 
-        xe = EdgeAwareFeatureEnhancer(dtype=self.dtype, name="edge_enhancer")(x, train)
+        xe = EdgeAwareFeatureEnhancer(dtype=self.dtype, fold_bn=self.fold_bn,
+                                      name="edge_enhancer")(x, train)
 
-        d = BasicConv(2 * inter, 1, dtype=self.dtype, name="dir0")(xe, train)
-        d = BasicConv(2 * inter, 3, padding=v, dilation=v, relu=False,
-                      dtype=self.dtype, name="dir1")(d, train)
-        d = BasicConv(2 * inter, 1, dtype=self.dtype, name="dir2")(d, train)
+        d = BC(2 * inter, 1, name="dir0")(xe, train)
+        d = BC(2 * inter, 3, padding=v, dilation=v, relu=False, name="dir1")(d, train)
+        d = BC(2 * inter, 1, name="dir2")(d, train)
 
-        e = BasicConv(inter, 1, dtype=self.dtype, name="edge0")(xe, train)
-        e = EdgeAwareFeatureEnhancer(dtype=self.dtype, name="edge_eafe")(e, train)
-        e = BasicConv(2 * inter, 3, stride=self.stride, padding=1, groups=inter,
-                      dtype=self.dtype, name="edge1")(e, train)
-        e = BasicConv(2 * inter, 3, padding=2 * v, dilation=2 * v, relu=False,
-                      dtype=self.dtype, name="edge2")(e, train)
-        e = BasicConv(2 * inter, 1, dtype=self.dtype, name="edge3")(e, train)
+        e = BC(inter, 1, name="edge0")(xe, train)
+        e = EdgeAwareFeatureEnhancer(dtype=self.dtype, fold_bn=self.fold_bn,
+                                     name="edge_eafe")(e, train)
+        e = BC(2 * inter, 3, stride=self.stride, padding=1, groups=inter,
+               name="edge1")(e, train)
+        e = BC(2 * inter, 3, padding=2 * v, dilation=2 * v, relu=False,
+               name="edge2")(e, train)
+        e = BC(2 * inter, 1, name="edge3")(e, train)
 
-        c = BasicConv(inter, 3, padding=1, dtype=self.dtype, name="ctx0")(xe, train)
-        c = BasicConv(2 * inter, 3, stride=self.stride, padding=1, groups=2,
-                      dtype=self.dtype, name="ctx1")(c, train)
-        c = BasicConv(2 * inter, 3, padding=3 * v, dilation=3 * v, relu=False,
-                      dtype=self.dtype, name="ctx2")(c, train)
-        c = BasicConv(2 * inter, 1, dtype=self.dtype, name="ctx3")(c, train)
+        c = BC(inter, 3, padding=1, name="ctx0")(xe, train)
+        c = BC(2 * inter, 3, stride=self.stride, padding=1, groups=2,
+               name="ctx1")(c, train)
+        c = BC(2 * inter, 3, padding=3 * v, dilation=3 * v, relu=False,
+               name="ctx2")(c, train)
+        c = BC(2 * inter, 1, name="ctx3")(c, train)
 
         concat = jnp.concatenate([x, d, e, c], axis=-1)
         out = FusionConv(self.features, self.fusion_factor, dtype=self.dtype,
                          name="fusion")(concat, concat)
 
-        short = BasicConv(self.features, 1, stride=self.stride, relu=False,
-                          dtype=self.dtype, name="shortcut")(identity, train)
+        short = BC(self.features, 1, stride=self.stride, relu=False,
+                   name="shortcut")(identity, train)
         out = nn.relu(out * self.scale + short)
 
         tw = Conv(3, 3, padding=1, dtype=self.dtype, name="target_enhancer")(out)
@@ -147,40 +152,38 @@ class GRFB(nn.Module):
     scale: float = 0.1
     visual: int = 12
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import functools
+
         inter = x.shape[-1] // 8
         v = self.visual
         s = self.stride
+        BC = functools.partial(BasicConv, dtype=self.dtype, fold_bn=self.fold_bn)
 
-        b0 = BasicConv(2 * inter, 1, stride=s, dtype=self.dtype, name="b0_0")(x, train)
-        b0 = BasicConv(2 * inter, 3, padding=v, dilation=v, relu=False,
-                       dtype=self.dtype, name="b0_1")(b0, train)
-        b0 = BasicConv(2 * inter, 1, stride=s, dtype=self.dtype, name="b0_2")(b0, train)
+        b0 = BC(2 * inter, 1, stride=s, name="b0_0")(x, train)
+        b0 = BC(2 * inter, 3, padding=v, dilation=v, relu=False, name="b0_1")(b0, train)
+        b0 = BC(2 * inter, 1, stride=s, name="b0_2")(b0, train)
 
-        b1 = BasicConv(inter, 1, dtype=self.dtype, name="b1_0")(x, train)
-        b1 = BasicConv(2 * inter, 3, stride=s, padding=1, groups=inter,
-                       dtype=self.dtype, name="b1_1")(b1, train)
-        b1 = BasicConv(2 * inter, 1, stride=s, dtype=self.dtype, name="b1_2")(b1, train)
-        b1 = BasicConv(2 * inter, 3, padding=2 * v, dilation=2 * v, relu=False,
-                       dtype=self.dtype, name="b1_3")(b1, train)
-        b1 = BasicConv(2 * inter, 1, dtype=self.dtype, name="b1_4")(b1, train)
+        b1 = BC(inter, 1, name="b1_0")(x, train)
+        b1 = BC(2 * inter, 3, stride=s, padding=1, groups=inter, name="b1_1")(b1, train)
+        b1 = BC(2 * inter, 1, stride=s, name="b1_2")(b1, train)
+        b1 = BC(2 * inter, 3, padding=2 * v, dilation=2 * v, relu=False,
+                name="b1_3")(b1, train)
+        b1 = BC(2 * inter, 1, name="b1_4")(b1, train)
 
-        b2 = BasicConv(inter, 1, dtype=self.dtype, name="b2_0")(x, train)
-        b2 = BasicConv(2 * inter, 3, padding=1, groups=inter,
-                       dtype=self.dtype, name="b2_1")(b2, train)
-        b2 = BasicConv(2 * inter, 1, stride=s, dtype=self.dtype, name="b2_2")(b2, train)
-        b2 = BasicConv(2 * inter, 3, stride=s, padding=1, groups=2 * inter,
-                       dtype=self.dtype, name="b2_3")(b2, train)
-        b2 = BasicConv(2 * inter, 1, stride=s, dtype=self.dtype, name="b2_4")(b2, train)
-        b2 = BasicConv(2 * inter, 3, padding=3 * v, dilation=3 * v, relu=False,
-                       dtype=self.dtype, name="b2_5")(b2, train)
-        b2 = BasicConv(2 * inter, 1, stride=s, dtype=self.dtype, name="b2_6")(b2, train)
+        b2 = BC(inter, 1, name="b2_0")(x, train)
+        b2 = BC(2 * inter, 3, padding=1, groups=inter, name="b2_1")(b2, train)
+        b2 = BC(2 * inter, 1, stride=s, name="b2_2")(b2, train)
+        b2 = BC(2 * inter, 3, stride=s, padding=1, groups=2 * inter, name="b2_3")(b2, train)
+        b2 = BC(2 * inter, 1, stride=s, name="b2_4")(b2, train)
+        b2 = BC(2 * inter, 3, padding=3 * v, dilation=3 * v, relu=False,
+                name="b2_5")(b2, train)
+        b2 = BC(2 * inter, 1, stride=s, name="b2_6")(b2, train)
 
         out = jnp.concatenate([x, b0, b1, b2], axis=-1)
-        out = BasicConv(self.features, 1, relu=False, dtype=self.dtype,
-                        name="conv_linear")(out, train)
-        short = BasicConv(self.features, 1, stride=s, relu=False,
-                          dtype=self.dtype, name="shortcut")(x, train)
+        out = BC(self.features, 1, relu=False, name="conv_linear")(out, train)
+        short = BC(self.features, 1, stride=s, relu=False, name="shortcut")(x, train)
         return nn.relu(out * self.scale + short)

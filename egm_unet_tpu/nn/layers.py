@@ -87,6 +87,10 @@ class BasicConv(nn.Module):
     """conv -> BN(eps 1e-5, torch momentum 0.01) -> ReLU, each optional.
 
     ref: src/EGM-UNet.py:958-975.  bias=False by default.
+
+    ``fold_bn=True`` builds the inference-specialized graph: the BN is gone
+    and the conv carries a bias instead; pair with
+    ``models.fold_bn.fold_bn_variables`` to produce the folded params.
     """
 
     features: int
@@ -98,13 +102,16 @@ class BasicConv(nn.Module):
     relu: bool = True
     bn: bool = True
     use_bias: bool = False
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        folded = self.bn and self.fold_bn
         x = Conv(self.features, self.kernel_size, self.stride, self.padding,
-                 self.dilation, self.groups, self.use_bias, self.dtype)(x)
-        if self.bn:
+                 self.dilation, self.groups, self.use_bias or folded,
+                 self.dtype)(x)
+        if self.bn and not folded:
             x = BatchNorm(torch_momentum=0.01, dtype=self.dtype)(x, train)
         if self.relu:
             x = nn.relu(x)
@@ -113,15 +120,18 @@ class BasicConv(nn.Module):
 
 class ConvBNReLU(nn.Module):
     """conv3x3(pad 1, no bias) -> BN(default momentum) -> ReLU — one half of
-    DoubleConv (ref: src/EGM-UNet.py:44-55)."""
+    DoubleConv (ref: src/EGM-UNet.py:44-55).  ``fold_bn``: see BasicConv."""
 
     features: int
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Conv(self.features, 3, padding=1, use_bias=False, dtype=self.dtype)(x)
-        x = BatchNorm(dtype=self.dtype)(x, train)
+        x = Conv(self.features, 3, padding=1, use_bias=self.fold_bn,
+                 dtype=self.dtype)(x)
+        if not self.fold_bn:
+            x = BatchNorm(dtype=self.dtype)(x, train)
         return nn.relu(x)
 
 
@@ -132,12 +142,13 @@ class DoubleConv(nn.Module):
     features: int
     mid_features: Optional[int] = None
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = self.mid_features or self.features
-        x = ConvBNReLU(mid, self.dtype)(x, train)
-        x = ConvBNReLU(self.features, self.dtype)(x, train)
+        x = ConvBNReLU(mid, self.dtype, fold_bn=self.fold_bn)(x, train)
+        x = ConvBNReLU(self.features, self.dtype, fold_bn=self.fold_bn)(x, train)
         return x
 
 
@@ -146,6 +157,7 @@ class EdgeAwareFeatureEnhancer(nn.Module):
     out = w*x + x  (ref: src/EGM-UNet.py:872-886)."""
 
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -153,6 +165,7 @@ class EdgeAwareFeatureEnhancer(nn.Module):
 
         edge = x - avg_pool2d(x, 3, 1, 1)
         w = Conv(x.shape[-1], 1, dtype=self.dtype)(edge)
-        w = BatchNorm(dtype=self.dtype)(w, train)
+        if not self.fold_bn:
+            w = BatchNorm(dtype=self.dtype)(w, train)
         w = nn.sigmoid(w)
         return w * x + x

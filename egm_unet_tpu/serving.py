@@ -29,6 +29,7 @@ class PredictorConfig:
     base_size: int = 565  # short-side resize, like the reference eval
     pad_multiple: int = 64
     dtype: str = "bfloat16"
+    fold_bn: bool = True  # inference BN folding (exact; see models/fold_bn.py)
 
 
 class Predictor:
@@ -36,11 +37,16 @@ class Predictor:
                  mean=None, std=None):
         from egm_unet_tpu.data.transforms import TP_MEAN, TP_STD
         from egm_unet_tpu.models import create_model
+        from egm_unet_tpu.models.fold_bn import fold_bn_variables
 
         self.cfg = config
         self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        fold = config.fold_bn and "batch_stats" in variables
         self.model = create_model(config.model_name, num_classes=config.num_classes,
-                                  base_c=config.base_c, dtype=self.dtype)
+                                  base_c=config.base_c, dtype=self.dtype,
+                                  fold_bn=fold)
+        if fold:
+            variables = fold_bn_variables(variables)
         if self.dtype == jnp.bfloat16:
             # deployment weight cast (+4% on v5e: drops BN-param convert
             # fusions); argmax masks are insensitive to the precision loss
