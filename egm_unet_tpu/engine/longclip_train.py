@@ -17,10 +17,13 @@ without an axis name.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
 
 
 def pca_reconstruct(x: jax.Array, dim: int) -> jax.Array:
@@ -132,3 +135,70 @@ def make_longclip_loss_fn(model, mesh=None, ratio_short: float = 0.1):
         return sharded(img, tl, ts)
 
     return loss_fn
+
+
+# --------------------------------------------------------------- train loop
+
+MAX_LOGIT_SCALE = float(jnp.log(100.0))  # upstream CLIP's post-step clamp
+
+
+class LongClipTrainState(train_state.TrainState):
+    lr_fn: Callable = struct.field(pytree_node=False, default=None)
+
+
+def _trainable_mask(params):
+    """Long-CLIP freezes the stretched ``positional_embedding`` and trains
+    ``positional_embedding_res`` (plus everything else) —
+    ref: clip/clip.py:250-251 (requires_grad False / True)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not (
+            len(path) == 1
+            and getattr(path[0], "key", None) == "positional_embedding"),
+        params)
+
+
+def create_longclip_state(model, params, lr: float = 1e-6,
+                          weight_decay: float = 1e-2,
+                          warmup_steps: int = 200, total_steps: int = 10000):
+    """AdamW + linear-warmup cosine decay over the trainable subset.
+
+    The reference repo ships only the loss forward (clip/model.py:572-614);
+    the optimizer recipe follows upstream Long-CLIP's fine-tune (AdamW,
+    low lr, cosine decay) with every knob exposed.
+    """
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
+        decay_steps=total_steps, end_value=lr * 1e-2)
+    # multi_transform (not bare optax.masked): frozen leaves must get a
+    # set_to_zero update — masked alone would pass their raw gradients
+    # through as parameter updates
+    labels = jax.tree_util.tree_map(
+        lambda t: "train" if t else "freeze", _trainable_mask(params))
+    tx = optax.multi_transform(
+        {"train": optax.adamw(sched, weight_decay=weight_decay),
+         "freeze": optax.set_to_zero()}, labels)
+    return LongClipTrainState.create(apply_fn=model.apply, params=params,
+                                     tx=tx, lr_fn=sched)
+
+
+def make_longclip_train_step(model, mesh=None, ratio_short: float = 0.1):
+    """step(state, image, text_long, text_short) -> (state, aux).
+
+    Full fine-tune step: contrastive loss (all_gather'ed under shard_map when
+    a mesh is given), AdamW update on the trainable mask, then the upstream
+    logit-scale clamp at ln(100) (CLIP caps the temperature after each step).
+    Jit this (optionally under ``jax.set_mesh``) for TPU execution.
+    """
+    loss_fn = make_longclip_loss_fn(model, mesh=mesh, ratio_short=ratio_short)
+
+    def step(state, image, text_long, text_short):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, image, text_long, text_short)
+        state = state.apply_gradients(grads=grads)
+        params = dict(state.params)
+        params["logit_scale"] = jnp.minimum(params["logit_scale"],
+                                            MAX_LOGIT_SCALE)
+        state = state.replace(params=params)
+        return state, {"loss": loss, "lr": state.lr_fn(state.step)}
+
+    return step

@@ -9,8 +9,11 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from egm_unet_tpu.engine.longclip_train import (
+    MAX_LOGIT_SCALE,
+    create_longclip_state,
     cross_entropy_smoothed,
     longclip_contrastive_loss,
+    make_longclip_train_step,
     pca_reconstruct,
 )
 from egm_unet_tpu.parallel import get_mesh
@@ -112,3 +115,53 @@ def test_sharded_loss_runs_and_grads_flow(rng):
     # gradient must flow through the all_gather into every shard's images
     g = np.asarray(grads)
     assert (np.abs(g).sum(axis=1) > 0).all(), "some rows got zero grad"
+
+
+def test_longclip_finetune_step_decreases_loss(rng):
+    """The full fine-tune engine on the 8-device mesh: jit'ed sharded train
+    step, AdamW on the trainable mask (positional_embedding frozen, _res
+    trainable — ref: clip/clip.py:250-251), logit-scale clamp at ln(100)."""
+    from jax.sharding import NamedSharding
+
+    from egm_unet_tpu.models.clip.model import CLIP, CLIPConfig
+
+    mesh = get_mesh(n_data=8)
+    cfg = CLIPConfig(embed_dim=16, image_resolution=32, vision_layers=1,
+                     vision_width=64, vision_patch_size=16, context_length=16,
+                     vocab_size=64, transformer_width=32, transformer_heads=2,
+                     transformer_layers=1, long_clip=True)
+    model = CLIP(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                        jnp.zeros((1, 16), jnp.int32))["params"]
+    # a hot temperature so the clamp is actually exercised
+    params["logit_scale"] = jnp.asarray(MAX_LOGIT_SCALE + 0.5)
+
+    state = create_longclip_state(model, params, lr=1e-3, warmup_steps=1,
+                                  total_steps=50)
+    step = jax.jit(make_longclip_train_step(model, mesh=mesh))
+
+    pe_before = np.asarray(state.params["positional_embedding"])
+    res_before = np.asarray(state.params["positional_embedding_res"])
+
+    b = 16
+    sh = NamedSharding(mesh, P("data"))
+    image = jax.device_put(jnp.asarray(
+        rng.standard_normal((b, 32, 32, 3), dtype=np.float32)), sh)
+    tl = jax.device_put(jnp.asarray(rng.integers(1, 60, (b, 16)), jnp.int32), sh)
+    ts = jax.device_put(jnp.asarray(rng.integers(1, 60, (b, 16)), jnp.int32), sh)
+
+    losses = []
+    with jax.set_mesh(mesh):
+        for _ in range(6):
+            state, aux = step(state, image, tl, ts)
+            losses.append(float(aux["loss"]))
+
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    # frozen vs trainable split
+    np.testing.assert_array_equal(
+        np.asarray(state.params["positional_embedding"]), pe_before)
+    assert np.abs(np.asarray(state.params["positional_embedding_res"])
+                  - res_before).max() > 0
+    # clamp applied after every step
+    assert float(state.params["logit_scale"]) <= MAX_LOGIT_SCALE + 1e-6
