@@ -120,6 +120,76 @@ def bench_train(args):
     }))
 
 
+def bench_clipseg(args):
+    """CLIPSeg (CLIPDensePredT, ViT-B/16, reduce_dim 64) forward throughput
+    at 352² (the reference's CLIPSeg input size, ref: eval_CLIPseg.py:831-835),
+    comparing attn_impl='xla' vs 'pallas' (ops/pallas/csa.py fused CSA)."""
+    from egm_unet_tpu.models.clipseg import CLIPDensePredT
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    rng = np.random.default_rng(0)
+    results = {}
+    for impl in args.attn_impls.split(","):
+        model = CLIPDensePredT(reduce_dim=64, attn_impl=impl, dtype=dtype)
+        cond0 = jnp.zeros((1, model.clip_cfg.embed_dim), dtype)
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, args.size, args.size, 3), dtype), cond0)
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables)
+
+        def apply_fn(v, x, cond):
+            return model.apply(v, x, cond)[0]
+
+        best_impl = 0.0
+        for bs in [int(b) for b in args.batches.split(",")]:
+            x = jnp.asarray(rng.standard_normal(
+                (bs, args.size, args.size, 3), dtype=np.float32), dtype)
+            cond = jnp.asarray(rng.standard_normal(
+                (bs, model.clip_cfg.embed_dim), dtype=np.float32), dtype)
+
+            def chain(n_iters):
+                @jax.jit
+                def run(v, x0):
+                    def step(carry, _):
+                        out = apply_fn(v, carry, cond)
+                        nxt = carry + jnp.mean(out).astype(carry.dtype) * 1e-6
+                        return nxt, ()
+
+                    final, _ = lax.scan(step, x0, None, length=n_iters)
+                    return jnp.sum(final.astype(jnp.float32))
+
+                return run
+
+            try:
+                run1, run2 = chain(args.n1), chain(args.n2)
+                float(run1(variables, x))
+                float(run2(variables, x))
+                t1 = time_fetch(run1, variables, x, repeats=args.repeats)
+                t2 = time_fetch(run2, variables, x, repeats=args.repeats)
+            except Exception as e:
+                print(f"# clipseg[{impl}] batch {bs} failed: "
+                      f"{type(e).__name__}: {e}", flush=True)
+                continue
+            per_iter = max((t2 - t1) / (args.n2 - args.n1), 1e-9)
+            ips = bs / per_iter
+            print(f"# clipseg[{impl}] batch {bs}: {ips:.1f} img/s "
+                  f"({per_iter * 1e3:.2f} ms/iter)", flush=True)
+            best_impl = max(best_impl, ips)
+        results[impl] = best_impl
+
+    best_name = max(results, key=results.get)
+    print(json.dumps({
+        "metric": f"clipseg_{args.size}px_inference_throughput",
+        "value": round(results[best_name], 1),
+        "unit": "images/s/chip",
+        "vs_baseline": 0.0,
+        "attn_impl": best_name,
+        "per_impl": {k: round(v, 1) for k, v in results.items()},
+        "dtype": args.dtype,
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="egm_unet")
@@ -134,13 +204,20 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--no-fold-bn", action="store_true",
                    help="disable inference BN folding (measure the raw graph)")
-    p.add_argument("--mode", default="inference", choices=["inference", "train"],
+    p.add_argument("--mode", default="inference",
+                   choices=["inference", "train", "clipseg"],
                    help="train: full train-step throughput (CE+dice+edge "
-                        "losses, SGD update, sync-BN) at --size crops")
+                        "losses, SGD update, sync-BN) at --size crops; "
+                        "clipseg: CLIPDensePredT forward at --size (use "
+                        "--size 352), xla-vs-pallas CSA")
+    p.add_argument("--attn-impls", default="xla,pallas",
+                   help="clipseg mode: comma list of CSA attention impls")
     args = p.parse_args()
 
     if args.mode == "train":
         return bench_train(args)
+    if args.mode == "clipseg":
+        return bench_clipseg(args)
 
     from egm_unet_tpu.models import create_model
     from egm_unet_tpu.models.fold_bn import fold_bn_variables

@@ -33,7 +33,33 @@ def parse_args(argv=None):
     p.add_argument("--alpha-file", default="best_alpha.txt")
     p.add_argument("--save-result", default="./predict/fusion_eval")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--clip-batch", default=32, type=int,
+                   help="fixed CLIPSeg device batch (one compiled program)")
+    p.add_argument("--unet-batch", default=16, type=int,
+                   help="fixed UNet device batch per shape bucket")
+    p.add_argument("--tiny-clip", action="store_true",
+                   help="small random CLIP tower (CI smoke; no checkpoints)")
     return p.parse_args(argv)
+
+
+def run_in_chunks(forward, inputs, batch_size: int):
+    """Run [N, ...] host arrays through ``forward`` in fixed-size zero-padded
+    chunks: ONE compiled program, ceil(N / batch_size) dispatches — instead
+    of the reference's per-image loop (ref: eval_CLIPseg.py:855-891).
+    Padding rows are zeros; their outputs are dropped."""
+    import jax.numpy as jnp
+
+    n = inputs[0].shape[0]
+    outs = []
+    for s in range(0, n, batch_size):
+        chunk = [np.asarray(a[s:s + batch_size]) for a in inputs]
+        pad = batch_size - chunk[0].shape[0]
+        if pad:
+            chunk = [np.concatenate(
+                [c, np.zeros((pad,) + c.shape[1:], c.dtype)]) for c in chunk]
+        out = np.asarray(forward(*[jnp.asarray(c) for c in chunk]))
+        outs.append(out[: batch_size - pad] if pad else out)
+    return np.concatenate(outs, axis=0)
 
 
 def build_clipseg(args):
@@ -48,12 +74,19 @@ def build_clipseg(args):
                                             load_clip_checkpoint, merge_params)
 
     cfg = VIT_B16
+    if getattr(args, "tiny_clip", False):
+        cfg = CLIPConfig(embed_dim=32, image_resolution=args.clip_size,
+                         vision_layers=2, vision_width=64, vision_patch_size=16,
+                         context_length=32, vocab_size=512,
+                         transformer_width=64, transformer_heads=2,
+                         transformer_layers=2, long_clip=True)
     params_clip = None
     if os.path.isfile(args.longclip_weights):
         cfg_kw, params_clip = load_clip_checkpoint(args.longclip_weights)
         cfg = CLIPConfig(**cfg_kw)
         print(f"loaded Long-CLIP tower from {args.longclip_weights}")
-    model = CLIPDensePredT(clip_cfg=cfg, reduce_dim=64)
+    extract = ((0, 1) if getattr(args, "tiny_clip", False) else (3, 6, 9))
+    model = CLIPDensePredT(clip_cfg=cfg, reduce_dim=64, extract_layers=extract)
     img0 = jnp.zeros((1, args.clip_size, args.clip_size, 3))
     tok0 = jnp.zeros((1, cfg.context_length), jnp.int32)  # token init
     variables = model.init(jax.random.key(0), img0, tok0)  # materializes text tower
@@ -114,6 +147,8 @@ def main(argv=None):
     # image repeat is unnecessary — prompts share the image encoder pass in
     # batch dim)
     try:
+        if args.tiny_clip:
+            raise FileNotFoundError  # random tower: tokens are meaningless
         tokens = jnp.asarray(tokenize(args.prompts, truncate=True))
         cond = clipseg.apply(clipseg_vars, tokens,
                              method=clipseg.compute_conditional)
@@ -125,45 +160,80 @@ def main(argv=None):
     ds = (SyntheticTPDataset(8) if args.synthetic
           else DriveDataset(args.data_path, None, args.txt_name))
     tf = EvalTransform(args.base_size)
+    n = len(ds)
+    n_prompts = len(args.prompts)
+
+    # ---- host preprocessing (both branch inputs + label shapes)
+    targets, img565s, img352s = [], [], []
+    for i in range(n):
+        raw, target = ds[i]
+        targets.append(target.astype(np.int32))
+        img565, _ = tf(raw, None)  # ref: eval_CLIPseg.py:821-827 (TP stats)
+        img565s.append(img565)
+        img352s.append(normalize(  # ref: eval_CLIPseg.py:830-834 (CLIP stats)
+            np.asarray(Image.fromarray(raw).resize(
+                (args.clip_size, args.clip_size), Image.BILINEAR)),
+            IMAGENET_MEAN, IMAGENET_STD))
+
+    # ---- CLIPSeg branch: one compiled program, ceil(N*P / clip_batch)
+    # dispatches (vs the reference's per-image loop, eval_CLIPseg.py:875-882)
+    rep = np.repeat(np.stack(img352s), n_prompts, axis=0)  # img-major order
+    conds = np.tile(np.asarray(cond, np.float32), (n, 1))
+    cl_flat = run_in_chunks(clipseg_forward, (rep, conds), args.clip_batch)
+    # [N*P, S, S, 1] -> per-image [S, S, P]
+    cl_all = cl_flat[..., 0].reshape(
+        n, n_prompts, args.clip_size, args.clip_size).transpose(0, 2, 3, 1)
+
+    # ---- UNet branch: shape buckets x fixed batches (like serving.Predictor)
+    ul_list = [None] * n
+    buckets = {}
+    for i, im in enumerate(img565s):
+        buckets.setdefault(bucket_pad(im).shape[:2], []).append(i)
+    for (bh, bw), idxs in buckets.items():
+        for s in range(0, len(idxs), args.unet_batch):
+            chunk = idxs[s : s + args.unet_batch]
+            batch = np.zeros((args.unet_batch, bh, bw, 3), np.float32)
+            for row, i in enumerate(chunk):
+                im = img565s[i]
+                batch[row, : im.shape[0], : im.shape[1]] = im
+            out = np.asarray(unet_forward(jnp.asarray(batch)))
+            for row, i in enumerate(chunk):
+                h, w = img565s[i].shape[:2]
+                ul_list[i] = out[row, :h, :w]
+
+    # ---- per-label-size groups: batched resize to the UNet grid (bilinear,
+    # ref: eval_CLIPseg.py:885-888) then NEAREST both branches to label size
+    # (a gather, so it commutes with fusion and argmax — matching the
+    # reference's "argmax then NEAREST-resize" exactly), one confmat batch
+    # per group for the alpha sweep.
+    groups = {}
+    for i in range(n):
+        key = (img565s[i].shape[:2], targets[i].shape[:2])
+        groups.setdefault(key, []).append(i)
 
     pairs = []
-    for i in range(len(ds)):
-        raw, target = ds[i]
-        lh, lw = target.shape[:2]
-        # UNet logits at 565 short side + TP stats (ref: eval_CLIPseg.py:821-827)
-        img565, _ = tf(raw, None)
-        rh, rw = img565.shape[:2]
-        ul = unet_forward(jnp.asarray(bucket_pad(img565)[None]))[:, :rh, :rw]
-        # CLIPSeg logits at exact 352x352 + ImageNet stats
-        # (ref: eval_CLIPseg.py:830-834); one output channel per prompt
-        img352 = normalize(
-            np.asarray(Image.fromarray(raw).resize((args.clip_size, args.clip_size),
-                                                   Image.BILINEAR)),
-            IMAGENET_MEAN, IMAGENET_STD)
-        x352 = jnp.broadcast_to(jnp.asarray(img352)[None],
-                                (len(args.prompts), *img352.shape))
-        cl = clipseg_forward(x352, cond)  # [P, 352, 352, 1]
-        cl = jnp.transpose(cl[..., 0], (1, 2, 0))[None]  # [1, 352, 352, P]
-        # bilinear to the UNet grid (ref: eval_CLIPseg.py:885-888), then
-        # NEAREST both branches to label size — a gather, so it commutes
-        # with fusion and argmax, matching the reference's
-        # "argmax then NEAREST-resize to label size" exactly.
+    group_order = []
+    for ((rh, rw), (lh, lw)), idxs in groups.items():
+        cl = jnp.asarray(np.stack([cl_all[i] for i in idxs]))
+        ul = jnp.asarray(np.stack([ul_list[i] for i in idxs]))
         cl = resize_bilinear(cl, (rh, rw))
         cl = resize_nearest(cl, (lh, lw), mode="pil")
         ul = resize_nearest(ul, (lh, lw), mode="pil")
-        labels = jnp.asarray(target.astype(np.int32))[None]
+        labels = jnp.asarray(np.stack([targets[i] for i in idxs]))
         pairs.append((cl, ul, labels))
+        group_order.append(idxs)
 
     best_alpha, best_miou, _ = search_best_alpha(pairs)
     print(f"best alpha: {best_alpha:.4f}  val mIoU: {best_miou * 100:.2f}")
     save_alpha(best_alpha, args.alpha_file)
 
     os.makedirs(args.save_result, exist_ok=True)
-    for i, (cl, ul, _) in enumerate(pairs):
-        pred = np.asarray(jnp.argmax(fuse_logits(cl, ul, best_alpha), axis=-1))[0]
-        Image.fromarray((pred * 255).astype(np.uint8)).save(
-            os.path.join(args.save_result, f"{ds.names[i]}.png"))
-    print(f"wrote {len(pairs)} masks to {args.save_result}")
+    for (cl, ul, _), idxs in zip(pairs, group_order):
+        preds = np.asarray(jnp.argmax(fuse_logits(cl, ul, best_alpha), axis=-1))
+        for row, i in enumerate(idxs):
+            Image.fromarray((preds[row] * 255).astype(np.uint8)).save(
+                os.path.join(args.save_result, f"{ds.names[i]}.png"))
+    print(f"wrote {n} masks to {args.save_result}")
 
 
 if __name__ == "__main__":

@@ -80,6 +80,25 @@ def random_crop(image, target, size: int, rng: np.random.Generator):
             target[top:top + size, left:left + size])
 
 
+def center_crop(image, target, size: int):
+    """Paired center crop, torchvision F.center_crop semantics: pad with 0 if
+    smaller (symmetrically), then crop the centered size x size window
+    (ref: transforms.py:80-87)."""
+    def _one(arr):
+        h, w = arr.shape[:2]
+        ph, pw = max(size - h, 0), max(size - w, 0)
+        if ph or pw:
+            pad = [(ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)]
+            pad += [(0, 0)] * (arr.ndim - 2)
+            arr = np.pad(arr, pad, constant_values=0)
+            h, w = arr.shape[:2]
+        # torchvision: crop_top = int(round((h - size) / 2.0)) (banker's)
+        top, left = int(round((h - size) / 2.0)), int(round((w - size) / 2.0))
+        return arr[top:top + size, left:left + size]
+
+    return _one(image), _one(target)
+
+
 def normalize(image_u8: np.ndarray, mean=TP_MEAN, std=TP_STD) -> np.ndarray:
     x = image_u8.astype(np.float32) / 255.0
     return (x - mean) / std

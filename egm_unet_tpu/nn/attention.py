@@ -62,8 +62,18 @@ class MCAGate(nn.Module):
     @nn.compact
     def __call__(self, x):
         reduce_axes = tuple(a for a in (1, 2, 3) if a != self.axis)
-        avg = jnp.mean(x.astype(jnp.float32), axis=reduce_axes)
-        std = jnp.std(x.astype(jnp.float32), axis=reduce_axes, ddof=1)
+        # one streaming pass: avg and std from the two moments (E[x], E[x²])
+        # in one multi-output reduction fusion, instead of mean + std's
+        # separate full-tensor passes (each pass at encoder resolution is
+        # ~1 GB of HBM traffic at batch 128)
+        xf = x.astype(jnp.float32)
+        n = 1
+        for a in reduce_axes:
+            n *= x.shape[a]
+        avg = jnp.mean(xf, axis=reduce_axes)
+        ex2 = jnp.mean(xf * xf, axis=reduce_axes)
+        var = (ex2 - avg * avg) * (n / max(n - 1, 1))  # ddof=1
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
         w = self.param("weight", nn.initializers.uniform(scale=1.0), (2,), jnp.float32)
         sw = jax.nn.sigmoid(w)
         blended = 0.5 * (avg + std) + sw[0] * avg + sw[1] * std

@@ -195,6 +195,16 @@ def resize_nearest(x: jax.Array, out_hw, mode: str = "torch") -> jax.Array:
     return _nearest_axis(y, ax_w, w_out, mode)
 
 
-def upsample2x_bilinear_align_corners(x: jax.Array) -> jax.Array:
-    """The UNet decoder's Upsample(scale_factor=2, align_corners=True)."""
-    return resize_bilinear(x, (2 * x.shape[1], 2 * x.shape[2]), align_corners=True)
+def upsample2x_bilinear_align_corners(x: jax.Array,
+                                      impl: str | None = None) -> jax.Array:
+    """The UNet decoder's Upsample(scale_factor=2, align_corners=True).
+
+    ``impl``: 'matmul' | 'gather' (default from $EGM_UPSAMPLE_IMPL, else
+    'matmul').  The matmul form does H_in dense MACs per output element vs
+    the gather form's 2 taps; which wins depends on the surrounding layout
+    regime (PERF.md) — keep both measurable."""
+    import os
+
+    impl = impl or os.environ.get("EGM_UPSAMPLE_IMPL", "matmul")
+    return resize_bilinear(x, (2 * x.shape[1], 2 * x.shape[2]),
+                           align_corners=True, impl=impl)
