@@ -249,8 +249,8 @@ def main():
             run2 = chained_forward(model, variables, x, args.n2)
             float(run1(variables, x))  # compile + warm
             float(run2(variables, x))
-            t1 = time_fetch(run1, variables, x, args.repeats)
-            t2 = time_fetch(run2, variables, x, args.repeats)
+            t1 = time_fetch(run1, variables, x, repeats=args.repeats)
+            t2 = time_fetch(run2, variables, x, repeats=args.repeats)
         except Exception as e:  # OOM etc.
             print(f"# batch {bs} failed: {type(e).__name__}: {e}", flush=True)
             continue

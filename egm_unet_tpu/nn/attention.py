@@ -11,7 +11,7 @@ fuses the whole gate into one VPU pass.
 from __future__ import annotations
 
 import math
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -60,7 +60,7 @@ class MCAGate(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_gate: bool = False):
         reduce_axes = tuple(a for a in (1, 2, 3) if a != self.axis)
         # one streaming pass: avg and std from the two moments (E[x], E[x²])
         # in one multi-output reduction fusion, instead of mean + std's
@@ -84,6 +84,8 @@ class MCAGate(nn.Module):
             (self.k_size,),
         )
         gate = jax.nn.sigmoid(_conv1d_same(blended, kernel))  # [B, L]
+        if return_gate:
+            return gate
         shape = [x.shape[0], 1, 1, 1]
         shape[self.axis] = x.shape[self.axis]
         return x * gate.reshape(shape).astype(x.dtype)
@@ -100,14 +102,36 @@ class MCALayer(nn.Module):
 
     no_spatial: bool = False
     dtype: Any = jnp.float32
+    impl: Optional[str] = None  # 'xla' | 'pallas'; default $EGM_MCA_IMPL or xla
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         c = x.shape[-1]
-        x_h = MCAGate(axis=1, k_size=3, dtype=self.dtype, name="h_cw")(x)
-        x_w = MCAGate(axis=2, k_size=3, dtype=self.dtype, name="w_hc")(x)
+        gate_h = MCAGate(axis=1, k_size=3, dtype=self.dtype, name="h_cw")
+        gate_w = MCAGate(axis=2, k_size=3, dtype=self.dtype, name="w_hc")
+        gate_c = MCAGate(axis=3, k_size=mca_kernel_size(c), dtype=self.dtype,
+                         name="c_hw")
+
+        impl = self.impl or os.environ.get("EGM_MCA_IMPL", "xla")
+        if impl == "pallas" and not self.no_spatial and x.ndim == 4 \
+                and c % 4 == 0:
+            # one-pass fused enhancement kernel (ops/pallas/mca.py): the
+            # gate vectors (tiny) come from XLA, everything downstream —
+            # gating, range/variance pools, shuffle, combine — is one
+            # HBM pass instead of ~8
+            from egm_unet_tpu.ops.pallas.mca import mca_fused
+
+            g_h = gate_h(x, return_gate=True)
+            g_w = gate_w(x, return_gate=True)
+            g_c = gate_c(x, return_gate=True)
+            return mca_fused(x, g_h, g_w, g_c, groups=4)
+
+        x_h = gate_h(x)
+        x_w = gate_w(x)
         if not self.no_spatial:
-            x_c = MCAGate(axis=3, k_size=mca_kernel_size(c), dtype=self.dtype, name="c_hw")(x)
+            x_c = gate_c(x)
             x_out = (x_c + x_h + x_w) / 3.0
         else:
             x_out = (x_h + x_w) / 2.0

@@ -1,0 +1,142 @@
+"""Fused MCALayer enhancement kernel (module "C" hot path).
+
+The XLA form of the enhanced MCALayer (nn/attention.py, ref:
+src/EGM-UNet.py:686-791) costs ~8 full HBM passes over the activation per
+layer: three gate multiplies, max/min/avg 3x3 pools, the local-variance
+chain, the channel shuffle, and the weighted combine.  This kernel computes
+everything downstream of the (tiny) gate vectors in ONE pass:
+
+    x_out = x * (g_h + g_w + g_c) / 3                       (gate broadcast)
+    out   = 0.4 x_out
+          + 0.2 (max3(x_out) - min3(x_out))                 (local range)
+          + 0.2 avg3((x_out - avg3(x_out))^2)               (local variance)
+          + 0.1 (1.1 x_out)                                 (freq, ops/fft.py)
+          + 0.1 shuffle4(x_out)                             (channel shuffle)
+
+Pooling semantics match ops/pooling.py exactly: 3x3 stride 1, zero padding
+with count_include_pad=True for avg, -inf/+inf padding for max/min.  The
+variance chain needs halo 2, so each grid program DMAs a (tile_h+4)-row slab
+of the pre-padded input from HBM and writes a disjoint tile_h-row output
+block.  Tile height adapts to keep the f32 working set inside VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38  # -inf stand-in that survives f32 arithmetic
+
+
+def _pool9(a, op):
+    """3x3 stride-1 valid-window reduce: [P, Q, C] -> [P-2, Q-2, C]."""
+    ph, qw = a.shape[0], a.shape[1]
+    out = None
+    for di in range(3):
+        for dj in range(3):
+            t = a[di : di + ph - 2, dj : dj + qw - 2, :]
+            out = t if out is None else op(out, t)
+    return out
+
+
+def _mca_kernel(h: int, w: int, tile_h: int, groups: int, out_dtype,
+                xp_hbm, gh_ref, gw_ref, gc_ref, out_ref, slab, sem):
+    th = tile_h
+    b = pl.program_id(0)
+    ht = pl.program_id(1)
+
+    copy = pltpu.make_async_copy(
+        xp_hbm.at[b, pl.ds(ht * th, th + 4)], slab, sem)
+    copy.start()
+    copy.wait()
+
+    x = slab[:].astype(jnp.float32)  # [th+4, w+4, c]
+    gh = gh_ref[0, pl.ds(ht * th, th + 4)].astype(jnp.float32)  # [th+4]
+    gw = gw_ref[0, :].astype(jnp.float32)  # [w+4]
+    gc = gc_ref[0, :].astype(jnp.float32)  # [c]
+
+    gsum = (gh[:, None, None] + gw[None, :, None] + gc[None, None, :]) / 3.0
+    x_out = x * gsum  # zero at padded positions (x is zero-padded)
+
+    # validity: real-image pixels of the padded coordinate system
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 4, w + 4), 0) + ht * th
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 4, w + 4), 1)
+    mask = ((rows >= 2) & (rows < h + 2) & (cols >= 2) & (cols < w + 2))[..., None]
+
+    maxm = _pool9(jnp.where(mask, x_out, -_BIG), jnp.maximum)  # [th+2, w+2, c]
+    minm = _pool9(jnp.where(mask, x_out, _BIG), jnp.minimum)
+    mean = _pool9(x_out, jnp.add) / 9.0  # zero pad participates (torch default)
+
+    d = x_out[1 : th + 3, 1 : w + 3, :] - mean
+    d2 = jnp.where(mask[1 : th + 3, 1 : w + 3], d * d, 0.0)
+    var = _pool9(d2, jnp.add) / 9.0  # [th, w, c]
+
+    x_i = x_out[2 : th + 2, 2 : w + 2, :]
+    range_i = (maxm - minm)[1 : th + 1, 1 : w + 1, :]
+    c = x_i.shape[-1]
+    # channel shuffle as reshape+swap (ops/shuffle.py), no gather constants
+    shuf = x_i.reshape(th, w, groups, c // groups).swapaxes(-1, -2)
+    shuf = shuf.reshape(th, w, c)
+
+    out = (0.4 * x_i + 0.2 * range_i + 0.2 * var
+           + 0.1 * (1.1 * x_i) + 0.1 * shuf)
+    out_ref[0] = out.astype(out_dtype)
+
+
+def _pick_tile(h: int, w: int, c: int) -> int:
+    """Largest power-of-two divisor of h whose f32 slab stays ~<=2 MB."""
+    budget = 2 * 1024 * 1024
+    per_row = (w + 4) * c * 4
+    cap = max(budget // per_row - 4, 4)
+    th = 1
+    while th * 2 <= min(h, cap) and h % (th * 2) == 0:
+        th *= 2
+    return th
+
+
+def mca_fused(x: jax.Array, g_h: jax.Array, g_w: jax.Array, g_c: jax.Array,
+              groups: int = 4, interpret: bool | None = None) -> jax.Array:
+    """x: [B, H, W, C]; g_h/g_w/g_c: post-sigmoid gate vectors [B, H]/[B, W]/
+    [B, C] (f32).  Returns the enhanced MCALayer output, one HBM pass."""
+    b, h, w, c = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    th = _pick_tile(h, w, c)
+
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    ghp = jnp.pad(g_h.astype(jnp.float32), ((0, 0), (2, 2)))
+    gwp = jnp.pad(g_w.astype(jnp.float32), ((0, 0), (2, 2)))
+
+    kernel = functools.partial(_mca_kernel, h, w, th, groups, x.dtype)
+    grid = (b, h // th)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM; manual DMA
+            pl.BlockSpec((1, h + 4), lambda bi, hi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w + 4), lambda bi, hi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, hi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, c), lambda bi, hi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((th + 4, w + 4, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * b * h * w * c, transcendentals=0,
+            bytes_accessed=2 * b * h * w * c * x.dtype.itemsize),
+        interpret=interpret,
+    )(xp, ghp, gwp, g_c.astype(jnp.float32))
