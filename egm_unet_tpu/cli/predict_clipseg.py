@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--alpha-file", default="best_alpha.txt")
     p.add_argument("--save-result", default="./predict/fusion")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--clip-batch", default=32, type=int)
+    p.add_argument("--unet-batch", default=16, type=int)
+    p.add_argument("--tiny-clip", action="store_true",
+                   help="small random CLIP tower (CI smoke; no checkpoints)")
     return p.parse_args(argv)
 
 
@@ -51,7 +55,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from PIL import Image
 
-    from egm_unet_tpu.cli.eval_clipseg import build_clipseg
+    from egm_unet_tpu.cli.eval_clipseg import build_clipseg, run_in_chunks
     from egm_unet_tpu.cli.predict import bucket_pad
     from egm_unet_tpu.data import DriveDataset, SyntheticTPDataset
     from egm_unet_tpu.data.transforms import (IMAGENET_MEAN, IMAGENET_STD,
@@ -85,6 +89,8 @@ def main(argv=None):
         return logits
 
     try:
+        if args.tiny_clip:
+            raise FileNotFoundError  # random tower: tokens are meaningless
         tokens = jnp.asarray(tokenize(args.prompts, truncate=True))
         cond = clipseg.apply(clipseg_vars, tokens, method=clipseg.compute_conditional)
     except FileNotFoundError:
@@ -97,27 +103,55 @@ def main(argv=None):
     tf = EvalTransform(args.base_size)
     os.makedirs(args.save_result, exist_ok=True)
 
-    for i in range(len(ds)):
+    # host preprocessing, then batched device programs (same O(buckets)
+    # dispatch structure as eval_clipseg; ref per-image loop:
+    # predict_CLIPseg.py:440-510)
+    n = len(ds)
+    n_prompts = len(args.prompts)
+    raw_hw, img565s, img352s = [], [], []
+    for i in range(n):
         raw, _ = ds[i]
-        h, w = raw.shape[:2]
+        raw_hw.append(raw.shape[:2])
         img565, _ = tf(raw, None)
-        rh, rw = img565.shape[:2]
-        ul = unet_forward(jnp.asarray(bucket_pad(img565)[None]))[:, :rh, :rw]
-        img352 = normalize(
-            np.asarray(Image.fromarray(raw).resize((args.clip_size, args.clip_size),
-                                                   Image.BILINEAR)),
-            IMAGENET_MEAN, IMAGENET_STD)
-        x352 = jnp.broadcast_to(jnp.asarray(img352)[None],
-                                (len(args.prompts), *img352.shape))
-        cl = clipseg_forward(x352, cond)
-        cl = jnp.transpose(cl[..., 0], (1, 2, 0))[None]
-        cl = resize_bilinear(cl, (rh, rw))
+        img565s.append(img565)
+        img352s.append(normalize(
+            np.asarray(Image.fromarray(raw).resize(
+                (args.clip_size, args.clip_size), Image.BILINEAR)),
+            IMAGENET_MEAN, IMAGENET_STD))
+
+    rep = np.repeat(np.stack(img352s), n_prompts, axis=0)
+    conds = np.tile(np.asarray(cond, np.float32), (n, 1))
+    cl_flat = run_in_chunks(clipseg_forward, (rep, conds), args.clip_batch)
+    cl_all = cl_flat[..., 0].reshape(
+        n, n_prompts, args.clip_size, args.clip_size).transpose(0, 2, 3, 1)
+
+    ul_list = [None] * n
+    buckets = {}
+    for i, im in enumerate(img565s):
+        buckets.setdefault(bucket_pad(im).shape[:2], []).append(i)
+    for (bh, bw), idxs in buckets.items():
+        for s in range(0, len(idxs), args.unet_batch):
+            chunk = idxs[s : s + args.unet_batch]
+            batch = np.zeros((args.unet_batch, bh, bw, 3), np.float32)
+            for row, i in enumerate(chunk):
+                im = img565s[i]
+                batch[row, : im.shape[0], : im.shape[1]] = im
+            out = np.asarray(unet_forward(jnp.asarray(batch)))
+            for row, i in enumerate(chunk):
+                h, w = img565s[i].shape[:2]
+                ul_list[i] = out[row, :h, :w]
+
+    for i in range(n):
+        rh, rw = img565s[i].shape[:2]
+        h, w = raw_hw[i]
+        cl = resize_bilinear(jnp.asarray(cl_all[i])[None], (rh, rw))
+        ul = jnp.asarray(ul_list[i])[None]
         pred = jnp.argmax(fuse_logits(cl, ul, alpha), axis=-1).astype(jnp.float32)
         pred = resize_nearest(pred[..., None], (h, w), mode="pil")[0, ..., 0]
         mask = (np.asarray(pred) * 255).astype(np.uint8)
         Image.fromarray(mask).convert("L").save(
             os.path.join(args.save_result, f"{ds.names[i]}.png"))
-    print(f"wrote {len(ds)} masks to {args.save_result}")
+    print(f"wrote {n} masks to {args.save_result}")
 
 
 if __name__ == "__main__":

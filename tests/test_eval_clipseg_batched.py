@@ -44,3 +44,16 @@ def test_eval_clipseg_cli_end_to_end(tmp_path):
 
     arr = np.asarray(Image.open(os.path.join(out_dir, masks[0])))
     assert set(np.unique(arr)) <= {0, 255}  # {1 -> 255} color map
+
+
+def test_predict_clipseg_cli_end_to_end(tmp_path):
+    from egm_unet_tpu.cli.predict_clipseg import main as predict_main
+
+    alpha_file = str(tmp_path / "alpha.txt")
+    open(alpha_file, "w").write("2.5\n")
+    out_dir = str(tmp_path / "fusion")
+    predict_main(["--synthetic", "--tiny-clip", "--base-c", "8",
+                  "--clip-size", "64", "--base-size", "96",
+                  "--clip-batch", "4", "--unet-batch", "4",
+                  "--alpha-file", alpha_file, "--save-result", out_dir])
+    assert len(os.listdir(out_dir)) == 4
