@@ -6,7 +6,7 @@ NHWC, bilinear(align_corners=True) decoder by default, returns
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -31,15 +31,30 @@ def pad_to_match(x1: jax.Array, x2: jax.Array) -> jax.Array:
 
 
 class Up(nn.Module):
-    """Upsample + pad + concat skip + DoubleConv (ref: src/unet.py:24-47)."""
+    """Upsample + pad + concat skip + DoubleConv (ref: src/unet.py:24-47).
+
+    On folded-BN inference graphs, ``up_impl='pallas'`` (or
+    ``$EGM_UP_IMPL=pallas``) fuses upsample+concat+first-conv into one Pallas
+    kernel (ops/pallas/upconv.py) when x2 is exactly 2x x1."""
 
     features: int
     bilinear: bool = True
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    up_impl: Optional[str] = None
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
+        import os
+
+        impl = self.up_impl or os.environ.get("EGM_UP_IMPL", "xla")
+        if (self.bilinear and self.fold_bn and impl == "pallas" and not train
+                and x2.shape[1] == 2 * x1.shape[1]
+                and x2.shape[2] == 2 * x1.shape[2]):
+            mid = (x1.shape[-1] + x2.shape[-1]) // 2
+            conv = DoubleConv(self.features, mid_features=mid,
+                              dtype=self.dtype, fold_bn=True)
+            return conv(None, train, up_pair=(x2, x1))
         if self.bilinear:
             x1 = upsample2x_bilinear_align_corners(x1)
             conv = DoubleConv(self.features, mid_features=(x1.shape[-1] + x2.shape[-1]) // 2,

@@ -120,16 +120,35 @@ class BasicConv(nn.Module):
 
 class ConvBNReLU(nn.Module):
     """conv3x3(pad 1, no bias) -> BN(default momentum) -> ReLU — one half of
-    DoubleConv (ref: src/EGM-UNet.py:44-55).  ``fold_bn``: see BasicConv."""
+    DoubleConv (ref: src/EGM-UNet.py:44-55).  ``fold_bn``: see BasicConv.
+
+    ``up_pair=(x2, x1)`` (fold_bn graphs only) runs the fused Pallas decoder
+    stage instead: relu(conv3x3(concat([x2, up2x(x1)])) + bias) in one kernel
+    (ops/pallas/upconv.py).  The param tree is identical either way — the
+    same Conv submodule provides the kernel/bias.
+    """
 
     features: int
     dtype: Any = jnp.float32
     fold_bn: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = Conv(self.features, 3, padding=1, use_bias=self.fold_bn,
-                 dtype=self.dtype)(x)
+    def __call__(self, x, train: bool = False, *, up_pair=None):
+        conv = Conv(self.features, 3, padding=1, use_bias=self.fold_bn,
+                    dtype=self.dtype)
+        if up_pair is not None:
+            assert self.fold_bn, "fused up path requires the folded graph"
+            x2, x1 = up_pair
+            cin = x2.shape[-1] + x1.shape[-1]
+            # materialize the conv's (identical) params without running it;
+            # the dummy op is dead code XLA removes
+            _ = conv(jnp.zeros((1, 3, 3, cin), x1.dtype))
+            p = conv.variables["params"]["Conv_0"]
+
+            from egm_unet_tpu.ops.pallas.upconv import up_concat_conv
+
+            return up_concat_conv(x2, x1, p["kernel"], p["bias"])
+        x = conv(x)
         if not self.fold_bn:
             x = BatchNorm(dtype=self.dtype)(x, train)
         return nn.relu(x)
@@ -145,9 +164,10 @@ class DoubleConv(nn.Module):
     fold_bn: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, *, up_pair=None):
         mid = self.mid_features or self.features
-        x = ConvBNReLU(mid, self.dtype, fold_bn=self.fold_bn)(x, train)
+        x = ConvBNReLU(mid, self.dtype, fold_bn=self.fold_bn)(
+            x, train, up_pair=up_pair)
         x = ConvBNReLU(self.features, self.dtype, fold_bn=self.fold_bn)(x, train)
         return x
 
