@@ -30,6 +30,11 @@ class PredictorConfig:
     pad_multiple: int = 64
     dtype: str = "bfloat16"
     fold_bn: bool = True  # inference BN folding (exact; see models/fold_bn.py)
+    # kernel impl choices, traced into the compiled program: 'xla' | 'pallas'
+    # (pallas = fused MCALayer / decoder-stage kernels; see PERF.md for the
+    # measured defaults). None = respect $EGM_MCA_IMPL / $EGM_UP_IMPL.
+    mca_impl: Optional[str] = None
+    up_impl: Optional[str] = None
 
 
 class Predictor:
@@ -77,6 +82,14 @@ class Predictor:
     def _forward(self, bucket_hw):
         key = bucket_hw
         if key not in self._compiled:
+            import os
+
+            # impl switches are read at trace time by the modules
+            if self.cfg.mca_impl:
+                os.environ["EGM_MCA_IMPL"] = self.cfg.mca_impl
+            if self.cfg.up_impl:
+                os.environ["EGM_UP_IMPL"] = self.cfg.up_impl
+
             @jax.jit
             def fwd(v, x):
                 return jnp.argmax(
