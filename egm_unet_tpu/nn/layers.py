@@ -165,10 +165,36 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, *, up_pair=None):
+        import os
+
         mid = self.mid_features or self.features
-        x = ConvBNReLU(mid, self.dtype, fold_bn=self.fold_bn)(
-            x, train, up_pair=up_pair)
-        x = ConvBNReLU(self.features, self.dtype, fold_bn=self.fold_bn)(x, train)
+        cbr1 = ConvBNReLU(mid, self.dtype, fold_bn=self.fold_bn)
+        cbr2 = ConvBNReLU(self.features, self.dtype, fold_bn=self.fold_bn)
+
+        max_c = int(os.environ.get("EGM_DC_S2D_MAXC", "64"))
+        if (self.fold_bn and up_pair is None and not train and x.ndim == 4
+                and os.environ.get("EGM_DC_IMPL", "xla") == "s2d"
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                and max(x.shape[-1], mid, self.features) <= max_c):
+            # space-to-depth rewrite (ops/spacedepth.py): both folded convs
+            # run in 2x2-cell space with 4x channels — one relayout pair per
+            # block. Params come from the same submodules (dummy calls
+            # materialize them; XLA removes the dead ops).
+            _ = cbr1(jnp.zeros((1, 4, 4, x.shape[-1]), x.dtype), False)
+            _ = cbr2(jnp.zeros((1, 4, 4, mid), x.dtype), False)
+            p1 = cbr1.variables["params"]["Conv_0"]["Conv_0"]
+            p2 = cbr2.variables["params"]["Conv_0"]["Conv_0"]
+
+            from egm_unet_tpu.ops.spacedepth import double_conv_s2d
+
+            dt = x.dtype
+            return double_conv_s2d(x, p1["kernel"].astype(dt),
+                                   p1["bias"].astype(dt),
+                                   p2["kernel"].astype(dt),
+                                   p2["bias"].astype(dt))
+
+        x = cbr1(x, train, up_pair=up_pair)
+        x = cbr2(x, train)
         return x
 
 
