@@ -85,6 +85,48 @@ def test_real_reference_checkpoint_roundtrip(ref_module, tmp_path):
     assert shapes_conv == shapes_init
 
 
+def test_real_yuan_variant_roundtrip(tmp_path):
+    """The A+B ablation snapshot (src/yuanGRFBUNet.py: DoubleConv1 without
+    MCALayer) through the converter's use_mca=False path."""
+    import importlib.util
+
+    import jax.numpy as jnp
+
+    from egm_unet_tpu.models import create_model
+    from egm_unet_tpu.utils.convert_unet import load_egm_checkpoint
+
+    path_src = "/root/reference/src/yuanGRFBUNet.py"
+    if not os.path.exists(path_src):
+        pytest.skip("reference checkout not present")
+    if "thop" not in sys.modules:
+        thop = types.ModuleType("thop")
+        thop.profile = lambda *a, **k: (0, 0)
+        sys.modules["thop"] = thop
+    spec = importlib.util.spec_from_file_location("ref_yuan", path_src)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(1)
+    tmodel = mod.GRFBUNet(in_channels=3, num_classes=2, base_c=8)
+    with torch.no_grad():
+        tmodel.train()
+        tmodel(torch.randn(2, 3, 64, 64))
+        tmodel.eval()
+    path = str(tmp_path / "yuan.pth")
+    torch.save({"model": tmodel.state_dict()}, path)
+
+    params, stats = load_egm_checkpoint(path, use_mca=False)
+    fmodel = create_model("egm_unet_ab", num_classes=2, base_c=8)
+    x = np.random.default_rng(2).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))["out"]
+    out = fmodel.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x), train=False)["out"]
+    np.testing.assert_allclose(np.asarray(out),
+                               ref.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_real_reference_odd_size_forward(ref_module, tmp_path):
     """Odd spatial sizes hit the decoder's pad-to-match path
     (ref: src/EGM-UNet.py:940-945)."""
