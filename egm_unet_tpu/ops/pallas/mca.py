@@ -44,8 +44,8 @@ def _pool9(a, op):
     return out
 
 
-def _mca_kernel(h: int, w: int, tile_h: int, groups: int, out_dtype,
-                xp_hbm, gh_ref, gw_ref, gc_ref, out_ref, slab, sem):
+def _mca_kernel(h: int, w: int, tile_h: int, groups: int, c_real: int,
+                out_dtype, xp_hbm, out_ref, slab, sem):
     th = tile_h
     b = pl.program_id(0)
     ht = pl.program_id(1)
@@ -55,18 +55,20 @@ def _mca_kernel(h: int, w: int, tile_h: int, groups: int, out_dtype,
     copy.start()
     copy.wait()
 
-    x = slab[:].astype(jnp.float32)  # [th+4, w+4, c]
-    gh = gh_ref[0, pl.ds(ht * th, th + 4)].astype(jnp.float32)  # [th+4]
-    gw = gw_ref[0, :].astype(jnp.float32)  # [w+4]
-    gc = gc_ref[0, :].astype(jnp.float32)  # [c]
+    # slab already holds x_out = x * (g_h+g_w+g_c)/3, gated on the XLA side
+    # (the broadcast multiply fuses into the pad that produces xp — same HBM
+    # traffic, and it sidesteps Mosaic's lane-alignment rules for dynamic
+    # slices of the tiny gate vectors).  Zero at padded positions.  The slab
+    # width is padded to w+8 (DMA slice shapes must be 8-aligned in the
+    # second-to-minor dim); drop the 4 junk columns here.
+    x_out = slab[:].astype(jnp.float32)[:, : w + 4, :]  # [th+4, w+4, c]
 
-    gsum = (gh[:, None, None] + gw[None, :, None] + gc[None, None, :]) / 3.0
-    x_out = x * gsum  # zero at padded positions (x is zero-padded)
-
-    # validity: real-image pixels of the padded coordinate system
-    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 4, w + 4), 0) + ht * th
-    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 4, w + 4), 1)
-    mask = ((rows >= 2) & (rows < h + 2) & (cols >= 2) & (cols < w + 2))[..., None]
+    # validity: real-image pixels of the padded coordinate system (3-D iotas:
+    # Mosaic can't reshape an i1 vector to add a minor dim, so build the mask
+    # at its broadcast rank directly)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 4, w + 4, 1), 0) + ht * th
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 4, w + 4, 1), 1)
+    mask = (rows >= 2) & (rows < h + 2) & (cols >= 2) & (cols < w + 2)
 
     maxm = _pool9(jnp.where(mask, x_out, -_BIG), jnp.maximum)  # [th+2, w+2, c]
     minm = _pool9(jnp.where(mask, x_out, _BIG), jnp.minimum)
@@ -78,10 +80,17 @@ def _mca_kernel(h: int, w: int, tile_h: int, groups: int, out_dtype,
 
     x_i = x_out[2 : th + 2, 2 : w + 2, :]
     range_i = (maxm - minm)[1 : th + 1, 1 : w + 1, :]
-    c = x_i.shape[-1]
-    # channel shuffle as reshape+swap (ops/shuffle.py), no gather constants
-    shuf = x_i.reshape(th, w, groups, c // groups).swapaxes(-1, -2)
-    shuf = shuf.reshape(th, w, c)
+    cp = x_i.shape[-1]  # lane-padded channel count (>= c_real)
+    # channel shuffle as a permutation matmul (Mosaic can't split the lane
+    # dim with a reshape): shuf[j] = x[(j%g)*(c/g) + j/g]  (ops/shuffle.py);
+    # the formula uses the REAL channel count — lanes >= c_real are junk the
+    # caller slices off
+    src_i = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 0)
+    dst_j = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 1)
+    src_of_dst = (dst_j % groups) * (c_real // groups) + dst_j // groups
+    perm = (src_i == src_of_dst).astype(jnp.float32)
+    shuf = jax.lax.dot_general(x_i, perm, (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
     out = (0.4 * x_i + 0.2 * range_i + 0.2 * var
            + 0.1 * (1.1 * x_i) + 0.1 * shuf)
@@ -106,37 +115,39 @@ def mca_fused(x: jax.Array, g_h: jax.Array, g_w: jax.Array, g_c: jax.Array,
     b, h, w, c = x.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    th = _pick_tile(h, w, c)
+    # DMA copy shapes must have a 128-multiple lane dim: pad channels (the
+    # padded lanes carry zeros; output is sliced back on the XLA side)
+    cp = c if interpret else -(-c // 128) * 128
+    th = _pick_tile(h, w, cp)
 
-    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
-    ghp = jnp.pad(g_h.astype(jnp.float32), ((0, 0), (2, 2)))
-    gwp = jnp.pad(g_w.astype(jnp.float32), ((0, 0), (2, 2)))
+    gsum = (g_h.astype(jnp.float32)[:, :, None, None]
+            + g_w.astype(jnp.float32)[:, None, :, None]
+            + g_c.astype(jnp.float32)[:, None, None, :]) / 3.0
+    x_out = (x.astype(jnp.float32) * gsum).astype(x.dtype)
+    # width 8-aligned, channels lane-aligned
+    xp = jnp.pad(x_out, ((0, 0), (2, 2), (2, 6), (0, cp - c)))
 
-    kernel = functools.partial(_mca_kernel, h, w, th, groups, x.dtype)
+    kernel = functools.partial(_mca_kernel, h, w, th, groups, c, x.dtype)
     grid = (b, h // th)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cp), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM; manual DMA
-            pl.BlockSpec((1, h + 4), lambda bi, hi: (bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w + 4), lambda bi, hi: (bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda bi, hi: (bi, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # manual DMA
         ],
-        out_specs=pl.BlockSpec((1, th, w, c), lambda bi, hi: (bi, hi, 0, 0),
+        out_specs=pl.BlockSpec((1, th, w, cp), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((th + 4, w + 4, c), x.dtype),
+            pltpu.VMEM((th + 4, w + 8, cp), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=40 * b * h * w * c, transcendentals=0,
-            bytes_accessed=2 * b * h * w * c * x.dtype.itemsize),
+            flops=40 * b * h * w * cp, transcendentals=0,
+            bytes_accessed=2 * b * h * w * cp * x.dtype.itemsize),
         interpret=interpret,
-    )(xp, ghp, gwp, g_c.astype(jnp.float32))
+    )(xp)
+    return out if cp == c else out[..., :c]
+

@@ -87,7 +87,9 @@ def _upconv_kernel(th: int, w_low: int, kr: int, cout: int, out_dtype,
     ).astype(dt)
     upc = jnp.transpose(upc, (1, 0, 2))  # [TH+2, W+2, C1]
 
-    cat = jnp.concatenate([x2s[:], upc], axis=-1)  # [TH+2, W+2, C]
+    # x2 slab width is padded to W+8 (DMA slice shapes must be 8-aligned in
+    # the second-to-minor dim); drop the junk columns before the concat
+    cat = jnp.concatenate([x2s[:][:, : W + 2, :], upc], axis=-1)  # [TH+2, W+2, C]
 
     acc = jnp.zeros((th, W, cout), jnp.float32)
     for di in range(3):
@@ -124,12 +126,25 @@ def up_concat_conv(x2: jax.Array, x1: jax.Array, kernel: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # DMA copy shapes need a 128-multiple lane dim: pad both slabs' channels
+    # and re-lay the conv kernel with zero rows at the padded positions
+    c1p = c1 if interpret else -(-c1 // 128) * 128
+    c2p = c2 if interpret else -(-c2 // 128) * 128
+    if c1p != c1 or c2p != c2:
+        x1 = jnp.pad(x1, ((0, 0), (0, 0), (0, 0), (0, c1p - c1)))
+        x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, 0), (0, c2p - c2)))
+        kernel = jnp.concatenate([
+            jnp.pad(kernel[:, :, :c2], ((0, 0), (0, 0), (0, c2p - c2), (0, 0))),
+            jnp.pad(kernel[:, :, c2:], ((0, 0), (0, 0), (0, c1p - c1), (0, 0))),
+        ], axis=2)
+        c1, c2 = c1p, c2p
+
     th = _pick_tile(H, W, c2 + c1, x1.dtype.itemsize)
     starts, mats, kr = _row_tiles(h, H, th)
 
     aw = np.zeros((W + 2, w), np.float32)
     aw[1 : W + 1] = _linear_matrix(w, W, align_corners=True)
-    x2p = jnp.pad(x2, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x2p = jnp.pad(x2, ((0, 0), (1, 1), (1, 7), (0, 0)))  # width 8-aligned
 
     kernel = kernel.astype(x1.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -151,7 +166,7 @@ def up_concat_conv(x2: jax.Array, x1: jax.Array, kernel: jax.Array,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((kr, w, c1), x1.dtype),
-            pltpu.VMEM((th + 2, W + 2, c2), x2.dtype),
+            pltpu.VMEM((th + 2, W + 8, c2), x2.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
