@@ -48,7 +48,13 @@ class Up(nn.Module):
         import os
 
         impl = self.up_impl or os.environ.get("EGM_UP_IMPL", "xla")
+        # on real TPU the fused kernel would pad channels to a 128 multiple
+        # (ops/pallas/upconv.py DMA alignment) — at up3/up4 (C=64/32, large
+        # maps) that 2-4x HBM blowup OOMs; only take stages already aligned
+        lanes_ok = (jax.default_backend() != "tpu"
+                    or (x1.shape[-1] % 128 == 0 and x2.shape[-1] % 128 == 0))
         if (self.bilinear and self.fold_bn and impl == "pallas" and not train
+                and lanes_ok
                 and x2.shape[1] == 2 * x1.shape[1]
                 and x2.shape[2] == 2 * x1.shape[2]):
             mid = (x1.shape[-1] + x2.shape[-1]) // 2

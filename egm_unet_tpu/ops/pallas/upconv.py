@@ -62,22 +62,42 @@ def _upconv_kernel(th: int, w_low: int, kr: int, cout: int, out_dtype,
     W = out_ref.shape[2]
     b = pl.program_id(0)
     t = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
 
-    c1 = pltpu.make_async_copy(x1_hbm.at[b, pl.ds(starts_ref[t], kr)],
-                               x1s, sems.at[0])
-    c2 = pltpu.make_async_copy(x2p_hbm.at[b, pl.ds(t * th, th + 2)],
-                               x2s, sems.at[1])
-    c1.start()
-    c2.start()
-    c1.wait()
-    c2.wait()
+    # double-buffered DMA: prefetch tile k+1 while computing tile k
+    def start(bi, ti, buf):
+        pltpu.make_async_copy(x1_hbm.at[bi, pl.ds(starts_ref[ti], kr)],
+                              x1s.at[buf], sems.at[0, buf]).start()
+        pltpu.make_async_copy(x2p_hbm.at[bi, pl.ds(ti * th, th + 2)],
+                              x2s.at[buf], sems.at[1, buf]).start()
 
-    dt = x1s.dtype
+    k = b * nt + t
+    cur = jax.lax.rem(k, 2)
+
+    @pl.when(k == 0)
+    def _first():
+        start(b, t, cur)
+
+    @pl.when(k + 1 < nb * nt)
+    def _prefetch():
+        t2 = t + 1
+        b2 = jnp.where(t2 == nt, b + 1, b)
+        start(b2, jnp.where(t2 == nt, 0, t2), jax.lax.rem(k + 1, 2))
+
+    pltpu.make_async_copy(x1_hbm.at[b, pl.ds(starts_ref[t], kr)],
+                          x1s.at[cur], sems.at[0, cur]).wait()
+    pltpu.make_async_copy(x2p_hbm.at[b, pl.ds(t * th, th + 2)],
+                          x2s.at[cur], sems.at[1, cur]).wait()
+    x1v = x1s[cur]
+    x2v = x2s[cur]
+
+    dt = x1v.dtype
     # rows: [TH+2, w, C1] = A_rows [TH+2, KR] @ x1 slab [KR, w*C1]
-    c1n = x1s.shape[-1]
+    c1n = x1v.shape[-1]
     a = arows_ref[0].astype(dt)
     up = jax.lax.dot_general(
-        a, x1s[:].reshape(kr, w_low * c1n),
+        a, x1v.reshape(kr, w_low * c1n),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ).astype(dt).reshape(th + 2, w_low, c1n)
     # cols: AW [W+2, w] contracted with up's w axis -> [W+2, TH+2, C1]
@@ -89,7 +109,7 @@ def _upconv_kernel(th: int, w_low: int, kr: int, cout: int, out_dtype,
 
     # x2 slab width is padded to W+8 (DMA slice shapes must be 8-aligned in
     # the second-to-minor dim); drop the junk columns before the concat
-    cat = jnp.concatenate([x2s[:][:, : W + 2, :], upc], axis=-1)  # [TH+2, W+2, C]
+    cat = jnp.concatenate([x2v[:, : W + 2, :], upc], axis=-1)  # [TH+2, W+2, C]
 
     acc = jnp.zeros((th, W, cout), jnp.float32)
     for di in range(3):
@@ -165,9 +185,9 @@ def up_concat_conv(x2: jax.Array, x1: jax.Array, kernel: jax.Array,
         out_specs=pl.BlockSpec((1, th, W, cout), lambda bi, ti, *_: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((kr, w, c1), x1.dtype),
-            pltpu.VMEM((th + 2, W + 8, c2), x2.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, kr, w, c1), x1.dtype),
+            pltpu.VMEM((2, th + 2, W + 8, c2), x2.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kern = functools.partial(_upconv_kernel, th, w, kr, cout, x1.dtype)
