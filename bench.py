@@ -79,7 +79,8 @@ def bench_train(args):
     from egm_unet_tpu.models import create_model
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = create_model(args.model, base_c=32, num_classes=2, dtype=dtype)
+    model = create_model(args.model, base_c=32, num_classes=2, dtype=dtype,
+                         remat=args.remat)
     sched = warmup_poly_schedule(0.02, num_step=100, epochs=200)
     state = create_train_state(model, jax.random.key(0), (1, 64, 64, 3), sched)
     step_fn = make_train_step(num_classes=2)
@@ -212,6 +213,9 @@ def main():
                         "--size 352), xla-vs-pallas CSA")
     p.add_argument("--attn-impls", default="xla,pallas",
                    help="clipseg mode: comma list of CSA attention impls")
+    p.add_argument("--remat", action="store_true",
+                   help="train mode: checkpoint each stage (fits bs>=64 at "
+                        "480px; ~1/3 recompute FLOPs)")
     args = p.parse_args()
 
     if args.mode == "train":

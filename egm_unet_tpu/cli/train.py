@@ -45,6 +45,8 @@ def parse_args(argv=None):
     p.add_argument("--save-dir", default="save_weights")
     p.add_argument("--results-file", default=None)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint each stage in backward (large batches)")
     return p.parse_args(argv)
 
 
@@ -116,7 +118,7 @@ def main(argv=None):
                              collate=collate_pad)
 
     model = create_model(args.model, num_classes=num_classes,
-                         base_c=args.base_c, dtype=dtype)
+                         base_c=args.base_c, dtype=dtype, remat=args.remat)
     sched = warmup_poly_schedule(args.lr, len(train_loader), args.epochs)
     state = create_train_state(model, jax.random.key(args.seed),
                                (1, 64, 64, 3), sched,

@@ -94,7 +94,7 @@ class CLIPDensePredT(nn.Module):
     extra_blocks: int = 0
     rev_activations: bool = False
     complex_trans_conv: bool = False
-    attn_impl: str = "xla"  # 'pallas' = fused CSA kernel on TPU
+    attn_impl: str = "auto"  # 'pallas' = fused CSA kernel on TPU (default there)
     dtype: Any = jnp.float32
 
     def setup(self):

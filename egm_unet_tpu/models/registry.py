@@ -32,12 +32,14 @@ def create_model(
     bilinear: bool = True,
     dtype: Any = jnp.float32,
     fold_bn: bool = False,
+    remat: bool = False,
 ):
     """Build a model by name (ref: train.py:57-60 create_model).
 
     ``fold_bn=True`` builds the inference-specialized graph (no BatchNorm
     ops; convs carry folded biases) — pair with
-    ``models.fold_bn.fold_bn_variables``.
+    ``models.fold_bn.fold_bn_variables``.  ``remat=True`` (EGM family)
+    checkpoints each stage for large-batch training.
     """
     if name == "unet":
         return UNet(in_channels=in_channels, num_classes=num_classes,
@@ -46,6 +48,6 @@ def create_model(
     if name in MODEL_CONFIGS:
         return EGMUNet(in_channels=in_channels, num_classes=num_classes,
                        bilinear=bilinear, base_c=base_c, dtype=dtype,
-                       fold_bn=fold_bn, **MODEL_CONFIGS[name])
+                       fold_bn=fold_bn, remat=remat, **MODEL_CONFIGS[name])
     raise ValueError(f"unknown model {name!r}; choose from "
                      f"{['unet', *MODEL_CONFIGS]}")

@@ -141,13 +141,20 @@ class MCALayer(nn.Module):
         local_variance = avg_pool2d((x_out - mean) ** 2, 3, 1, 1)
         freq = fft_magnitude_enhance(x_out, 1.1)
         shuffled = channel_shuffle(x_out, groups=4)
-        return (
+        out = (
             0.4 * x_out
             + 0.2 * local_range
             + 0.2 * local_variance
             + 0.1 * freq
             + 0.1 * shuffled
         )
+        if os.environ.get("EGM_MCA_BARRIER", "0") == "1":
+            # materialize the 5-term combine: without the barrier XLA fuses
+            # this expensive producer into the consumer conv's input and
+            # recomputes it per 3x3 window tap (profiled: down1/down2 conv2
+            # run 2-4x off roofline)
+            out = jax.lax.optimization_barrier(out)
+        return out
 
 
 class RecursiveGatedAttention(nn.Module):
