@@ -148,11 +148,12 @@ class MCALayer(nn.Module):
             + 0.1 * freq
             + 0.1 * shuffled
         )
-        if os.environ.get("EGM_MCA_BARRIER", "0") == "1":
+        if os.environ.get("EGM_MCA_BARRIER", "1") == "1":
             # materialize the 5-term combine: without the barrier XLA fuses
             # this expensive producer into the consumer conv's input and
             # recomputes it per 3x3 window tap (profiled: down1/down2 conv2
-            # run 2-4x off roofline)
+            # run 2-4x off roofline; barrier measured +2.4% end to end,
+            # bit-identical — PERF.md round 2)
             out = jax.lax.optimization_barrier(out)
         return out
 

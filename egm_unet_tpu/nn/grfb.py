@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from egm_unet_tpu.nn.attention import ChannelAttention, SpatialAttention
@@ -107,8 +108,15 @@ class EdgeEnhancedGRFB(nn.Module):
         identity = x
         BC = functools.partial(BasicConv, dtype=self.dtype, fold_bn=self.fold_bn)
 
+        import os
+
         xe = EdgeAwareFeatureEnhancer(dtype=self.dtype, fold_bn=self.fold_bn,
                                       name="edge_enhancer")(x, train)
+        if os.environ.get("EGM_MCA_BARRIER", "1") == "1":
+            # materialize the sigmoid-gate chain once instead of per window
+            # tap of the 3x3 ctx0 consumer (same pathology as the MCA
+            # combine, nn/attention.py)
+            xe = jax.lax.optimization_barrier(xe)
 
         d = BC(2 * inter, 1, name="dir0")(xe, train)
         d = BC(2 * inter, 3, padding=v, dilation=v, relu=False, name="dir1")(d, train)
@@ -137,6 +145,10 @@ class EdgeEnhancedGRFB(nn.Module):
         short = BC(self.features, 1, stride=self.stride, relu=False,
                    name="shortcut")(identity, train)
         out = nn.relu(out * self.scale + short)
+        if os.environ.get("EGM_MCA_BARRIER", "1") == "1":
+            # same: the scale-residual-relu tail otherwise recomputes inside
+            # the 3x3 target_enhancer conv's window taps
+            out = jax.lax.optimization_barrier(out)
 
         tw = Conv(3, 3, padding=1, dtype=self.dtype, name="target_enhancer")(out)
         tw = nn.sigmoid(tw)
