@@ -48,12 +48,16 @@ def cross_entropy(
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     valid = target != ignore_index
     t_safe = jnp.where(valid, target, 0).astype(jnp.int32)
-    nll = -jnp.take_along_axis(logp, t_safe[..., None], axis=-1)[..., 0]
+    # class selection via one-hot (iota-compare) instead of take_along_axis /
+    # integer indexing: per-pixel gathers and their scatter transpose were
+    # ~15% of the whole train step on TPU (tools/profile_train.py)
+    onehot = jax.nn.one_hot(t_safe, num_classes, dtype=jnp.float32)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     if weight is None:
         w = jnp.ones((num_classes,), jnp.float32)
     else:
         w = weight.astype(jnp.float32)
-    pix_w = jnp.where(valid, w[t_safe], 0.0)
+    pix_w = jnp.where(valid, jnp.sum(w * onehot, axis=-1), 0.0)
     return jnp.sum(nll * pix_w) / jnp.maximum(jnp.sum(pix_w), 1e-12)
 
 
