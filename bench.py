@@ -80,7 +80,7 @@ def bench_train(args):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = create_model(args.model, base_c=32, num_classes=2, dtype=dtype,
-                         remat=args.remat)
+                         remat="fine" if args.remat_fine else args.remat)
     sched = warmup_poly_schedule(0.02, num_step=100, epochs=200)
     state = create_train_state(model, jax.random.key(0), (1, 64, 64, 3), sched)
     step_fn = make_train_step(num_classes=2)
@@ -111,9 +111,12 @@ def bench_train(args):
 
     print(json.dumps({
         "metric": f"{args.model}_{args.size}px_train_throughput",
+        # the 2000 img/s north star is an *inference* target; train-step
+        # throughput is compared to the round-1 bs-8 recipe number instead
+        "metric_baseline": "round1_bs8_31.9_img_s",
         "value": round(best, 1),
         "unit": "images/s/chip",
-        "vs_baseline": round(best / 2000.0, 4),
+        "vs_baseline": round(best / 31.9, 4),
         "batch": best_bs,
         "ms_per_step": round(best_ms, 3),
         "dtype": args.dtype,
@@ -191,42 +194,10 @@ def bench_clipseg(args):
     }))
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--model", default="egm_unet")
-    p.add_argument("--size", type=int, default=512)
-    # batch 128 is the measured sweet spot on v5e: with B == the 128-lane
-    # width XLA tiles the batch into lanes and the small-channel layout
-    # conflicts (PERF.md) disappear — 463 img/s vs 124 at batch 16.
-    p.add_argument("--batches", type=str, default="16,128")
-    p.add_argument("--n1", type=int, default=2)
-    p.add_argument("--n2", type=int, default=12)
-    p.add_argument("--repeats", type=int, default=3)
-    p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--no-fold-bn", action="store_true",
-                   help="disable inference BN folding (measure the raw graph)")
-    p.add_argument("--mode", default="inference",
-                   choices=["inference", "train", "clipseg"],
-                   help="train: full train-step throughput (CE+dice+edge "
-                        "losses, SGD update, sync-BN) at --size crops; "
-                        "clipseg: CLIPDensePredT forward at --size (use "
-                        "--size 352), xla-vs-pallas CSA")
-    p.add_argument("--attn-impls", default="xla,pallas",
-                   help="clipseg mode: comma list of CSA attention impls")
-    p.add_argument("--remat", action="store_true",
-                   help="train mode: checkpoint each stage (fits bs>=64 at "
-                        "480px; ~1/3 recompute FLOPs)")
-    args = p.parse_args()
-
-    if args.mode == "train":
-        return bench_train(args)
-    if args.mode == "clipseg":
-        return bench_clipseg(args)
-
+def _build_inference(args, dtype):
     from egm_unet_tpu.models import create_model
     from egm_unet_tpu.models.fold_bn import fold_bn_variables
 
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     fold = not args.no_fold_bn
     model = create_model(args.model, base_c=32, num_classes=2, dtype=dtype,
                          fold_bn=fold)
@@ -243,38 +214,245 @@ def main():
         # bf16<->f32 convert fusions around f32 params (+4% measured)
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables)
+    return model, variables
+
+
+def bench_inference(args, quant=None, batches=None, emit_json=True):
+    """EGM inference throughput; ``quant='int8'`` measures the serving-only
+    dynamic-int8 path (ops/quant.py) and reports a pixel mask-agreement
+    statistic against the bf16 graph (the path is off-parity by design)."""
+    import contextlib
+
+    from egm_unet_tpu.ops.quant import quantized
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, variables = _build_inference(args, dtype)
+    qctx = (lambda: quantized(quant)) if quant else contextlib.nullcontext
 
     best, best_bs, best_ms = 0.0, 0, 0.0
-    for bs in [int(b) for b in args.batches.split(",")]:
+    for bs in [int(b) for b in (batches or args.batches).split(",")]:
         x = jnp.asarray(np.random.default_rng(0).standard_normal(
             (bs, args.size, args.size, 3), dtype=np.float32), dtype)
         try:
-            run1 = chained_forward(model, variables, x, args.n1)
-            run2 = chained_forward(model, variables, x, args.n2)
-            float(run1(variables, x))  # compile + warm
-            float(run2(variables, x))
-            t1 = time_fetch(run1, variables, x, repeats=args.repeats)
-            t2 = time_fetch(run2, variables, x, repeats=args.repeats)
+            with qctx():
+                run1 = chained_forward(model, variables, x, args.n1)
+                run2 = chained_forward(model, variables, x, args.n2)
+                float(run1(variables, x))  # compile + warm
+                float(run2(variables, x))
+                t1 = time_fetch(run1, variables, x, repeats=args.repeats)
+                t2 = time_fetch(run2, variables, x, repeats=args.repeats)
         except Exception as e:  # OOM etc.
             print(f"# batch {bs} failed: {type(e).__name__}: {e}", flush=True)
             continue
         per_iter = max((t2 - t1) / (args.n2 - args.n1), 1e-9)
         ips = bs / per_iter
-        print(f"# batch {bs}: {ips:.1f} img/s ({per_iter * 1e3:.2f} ms/iter; "
+        tag = f"[{quant}] " if quant else ""
+        print(f"# {tag}batch {bs}: {ips:.1f} img/s ({per_iter * 1e3:.2f} ms/iter; "
               f"t1={t1:.3f}s t2={t2:.3f}s)", flush=True)
         if ips > best:
             best, best_bs, best_ms = ips, bs, per_iter * 1e3
 
-    print(json.dumps({
-        "metric": f"{args.model}_{args.size}px_inference_throughput",
+    record = {
+        "metric": f"{args.model}_{args.size}px_inference_throughput"
+                  + (f"_{quant}" if quant else ""),
         "value": round(best, 1),
         "unit": "images/s/chip",
         "vs_baseline": round(best / 2000.0, 4),
         "batch": best_bs,
         "ms_per_iter": round(best_ms, 3),
-        "dtype": args.dtype,
+        "dtype": f"{args.dtype}+{quant}" if quant else args.dtype,
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if quant and not args.no_agreement:
+        # off-parity check: pixel agreement of argmax masks vs the bf16 path
+        xa = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (8, args.size, args.size, 3), dtype=np.float32), dtype)
+
+        @jax.jit
+        def masks(v, x):
+            return jnp.argmax(model.apply(v, x, train=False)["out"], axis=-1)
+
+        m_ref = np.asarray(masks(variables, xa))
+        with qctx():
+            m_q = np.asarray(jax.jit(
+                lambda v, x: jnp.argmax(
+                    model.apply(v, x, train=False)["out"], axis=-1))(variables, xa))
+        record["mask_agreement_vs_bf16"] = round(float((m_ref == m_q).mean()), 6)
+        print(f"# {quant} mask agreement vs bf16: "
+              f"{record['mask_agreement_vs_bf16']:.4%}", flush=True)
+    if emit_json:
+        print(json.dumps(record), flush=True)
+    return record
+
+
+def bench_fusion(args, timeout_s: int = 1500):
+    """End-to-end fusion-eval wall-clock: N synthetic images through the
+    REAL cli/eval_clipseg.py flow (full-size ViT-B/16 CLIPSeg branch + EGM
+    UNet branch + vmap'ed 100-alpha sweep + mask writes) in a subprocess
+    with a hard timeout so a tunnel stall can never block the headline
+    metric.  Wall time includes compiles — it is the 'cold eval session'
+    number, reported alongside the per-image steady-state throughputs."""
+    import subprocess
+    import sys
+    import time
+
+    code = (
+        "from egm_unet_tpu.cli.eval_clipseg import main;"
+        "main(['--synthetic','--model','egm_unet','--base-c','32',"
+        "'--clip-batch','16','--unet-batch','8',"
+        "'--save-result','/tmp/bench_fusion',"
+        "'--alpha-file','/tmp/bench_fusion_alpha.txt'])"
+    )
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                              capture_output=True, text=True)
+        ok = proc.returncode == 0
+        tail = (proc.stdout or "").strip().splitlines()[-2:]
+        for ln in tail:
+            print(f"# fusion_eval: {ln}", flush=True)
+    except subprocess.TimeoutExpired:
+        ok = False
+        print(f"# fusion_eval timed out after {timeout_s}s", flush=True)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "fusion_eval_synthetic_walltime",
+        "value": round(dt, 1),
+        "unit": "s (8 images x 2 prompts, incl. compiles)",
+        "vs_baseline": 0.0,
+        "ok": ok,
+    }), flush=True)
+
+
+def verify_kernels(args):
+    """Compiled-kernel parity check on the live backend (VERDICT r2 #7): the
+    CI suite exercises Pallas kernels in interpret mode only; this re-runs
+    csa/mca/upconv *compiled* against their XLA references before timing."""
+    backend = jax.default_backend()
+    rng = np.random.default_rng(0)
+    results = {}
+
+    from egm_unet_tpu.ops.attention import multi_head_attention
+    from egm_unet_tpu.ops.pallas.csa import csa_attention
+
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 485, 768)), jnp.float32)
+               for _ in range(3))
+    d = float(jnp.max(jnp.abs(csa_attention(q, k, v, 12)
+                              - multi_head_attention(q, k, v, 12, csa=True))))
+    results["csa"] = d
+    print(f"# verify[{backend}] csa: max|d|={d:.2e} "
+          f"{'ok' if d < 2e-2 else 'FAIL'}", flush=True)
+
+    from egm_unet_tpu.nn.attention import MCALayer
+    from egm_unet_tpu.ops.pallas.mca import mca_fused
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 128)), jnp.float32)
+    layer_x = MCALayer(impl="xla")
+    vars_x = layer_x.init(jax.random.key(0), x)
+    ref = layer_x.apply(vars_x, x)
+    gates = {}
+    for nm, axis in (("h_cw", 1), ("w_hc", 2), ("c_hw", 3)):
+        from egm_unet_tpu.nn.attention import MCAGate, mca_kernel_size
+
+        g = MCAGate(axis=axis, k_size=3 if axis != 3 else mca_kernel_size(128))
+        gates[nm] = g.apply({"params": vars_x["params"][nm]}, x, return_gate=True)
+    out = mca_fused(x, gates["h_cw"], gates["w_hc"], gates["c_hw"], groups=4)
+    d = float(jnp.max(jnp.abs(out - ref)))
+    results["mca"] = d
+    print(f"# verify[{backend}] mca_fused: max|d|={d:.2e} "
+          f"{'ok' if d < 1e-2 else 'FAIL'}", flush=True)
+
+    from egm_unet_tpu.ops.pallas.upconv import up_concat_conv
+    from egm_unet_tpu.ops.resize import upsample2x_bilinear_align_corners
+
+    x1 = jnp.asarray(rng.standard_normal((1, 16, 16, 128)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((1, 32, 32, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 256, 128)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((128,)) * 0.05, jnp.float32)
+    up = upsample2x_bilinear_align_corners(x1)
+    cat = jnp.concatenate([x2, up], axis=-1)
+    ref = jax.nn.relu(jax.lax.conv_general_dilated(
+        cat, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b)
+    out = up_concat_conv(x2, x1, w, b)
+    d = float(jnp.max(jnp.abs(out - ref)))
+    results["upconv"] = d
+    print(f"# verify[{backend}] up_concat_conv: max|d|={d:.2e} "
+          f"{'ok' if d < 1e-2 else 'FAIL'}", flush=True)
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="egm_unet")
+    p.add_argument("--size", type=int, default=512)
+    # batch 128 is the measured sweet spot on v5e: with B == the 128-lane
+    # width XLA tiles the batch into lanes and the small-channel layout
+    # conflicts (PERF.md) disappear — 463 img/s vs 124 at batch 16.
+    p.add_argument("--batches", type=str, default="16,128")
+    p.add_argument("--n1", type=int, default=2)
+    p.add_argument("--n2", type=int, default=12)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--no-fold-bn", action="store_true",
+                   help="disable inference BN folding (measure the raw graph)")
+    p.add_argument("--mode", default="all",
+                   choices=["all", "inference", "train", "clipseg", "int8",
+                            "fusion"],
+                   help="all (default): clipseg + int8 + bf16 EGM headline "
+                        "(headline JSON printed LAST); train: full train-step "
+                        "throughput (CE+dice+edge losses, SGD update, sync-BN) "
+                        "at --size crops; clipseg: CLIPDensePredT forward at "
+                        "352, xla-vs-pallas CSA; int8: quantized serving path")
+    p.add_argument("--attn-impls", default="xla,pallas",
+                   help="clipseg mode: comma list of CSA attention impls")
+    p.add_argument("--remat", action="store_true",
+                   help="train mode: checkpoint each stage (fits bs>=64 at "
+                        "480px; ~1/3 recompute FLOPs)")
+    p.add_argument("--remat-fine", action="store_true",
+                   help="train mode: per-conv checkpointing (fits bs 128)")
+    p.add_argument("--verify-kernels", action="store_true",
+                   help="before timing, run compiled Pallas kernels against "
+                        "their XLA references on the live backend")
+    p.add_argument("--no-agreement", action="store_true",
+                   help="int8: skip the mask-agreement check (saves compiles)")
+    args = p.parse_args()
+
+    if args.verify_kernels:
+        verify_kernels(args)
+
+    if args.mode == "train":
+        return bench_train(args)
+    if args.mode == "clipseg":
+        return bench_clipseg(args)
+    if args.mode == "int8":
+        return bench_inference(args, quant="int8", batches="128")
+    if args.mode == "fusion":
+        return bench_fusion(args)
+    if args.mode == "inference":
+        return bench_inference(args)
+
+    # --mode all: every pillar in one driver-visible run.  The EGM bf16
+    # headline prints LAST so a last-line JSON parser records the headline
+    # metric; earlier lines carry the CLIPSeg and int8 pillars.
+    import copy
+
+    cargs = copy.copy(args)
+    cargs.size, cargs.attn_impls, cargs.n2 = 352, "pallas", 8
+    cargs.batches = "16,64"
+    try:
+        bench_clipseg(cargs)
+    except Exception as e:
+        print(f"# clipseg bench failed: {type(e).__name__}: {e}", flush=True)
+    try:
+        bench_inference(args, quant="int8", batches="128")
+    except Exception as e:
+        print(f"# int8 bench failed: {type(e).__name__}: {e}", flush=True)
+    try:
+        bench_fusion(args)
+    except Exception as e:
+        print(f"# fusion bench failed: {type(e).__name__}: {e}", flush=True)
+    bench_inference(args, batches="128")
 
 
 if __name__ == "__main__":

@@ -36,6 +36,14 @@ def parse_args(argv=None):
                    help="bf16 compute (TPU equivalent of torch AMP)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-size", default=64, type=int)
+    p.add_argument("--synthetic-n", default=None, type=int,
+                   help="synthetic train-set size (default 4*batch; use 876 "
+                        "to mirror the TP-928 train split)")
+    p.add_argument("--synthetic-val-n", default=8, type=int,
+                   help="synthetic val-set size (TP-928 val split: 52)")
+    p.add_argument("--val-batch-size", default=1, type=int,
+                   help="eval batch (reference uses 1; synthetic val images "
+                        "share a shape so larger batches are safe)")
     p.add_argument("--device-aug", action="store_true",
                    help="run scale/crop/flip/normalize on device as one "
                         "fused program (data/device_aug.py) instead of "
@@ -47,6 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--remat", action="store_true",
                    help="checkpoint each stage in backward (large batches)")
+    p.add_argument("--remat-fine", action="store_true",
+                   help="additionally checkpoint each conv inside the stages "
+                        "(bs 128 at 480px; implies --remat)")
     return p.parse_args(argv)
 
 
@@ -107,18 +118,22 @@ def main(argv=None):
         device_augment = None
 
     if args.synthetic:
-        train_ds = SyntheticTPDataset(n=args.batch_size * 4, transforms=train_tf)
-        val_ds = SyntheticTPDataset(n=8, transforms=EvalTransform(args.eval_size))
+        train_ds = SyntheticTPDataset(n=args.synthetic_n or args.batch_size * 4,
+                                      transforms=train_tf, cache=True)
+        val_ds = SyntheticTPDataset(n=args.synthetic_val_n,
+                                    transforms=EvalTransform(args.eval_size),
+                                    cache=True)
     else:
         train_ds = DriveDataset(args.data_path, train_tf, "train.txt")
         val_ds = DriveDataset(args.data_path, EvalTransform(args.eval_size), "val.txt")
 
     train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
-    val_loader = BatchLoader(val_ds, 1, shuffle=False, drop_last=False,
-                             collate=collate_pad)
+    val_loader = BatchLoader(val_ds, args.val_batch_size, shuffle=False,
+                             drop_last=False, collate=collate_pad)
 
     model = create_model(args.model, num_classes=num_classes,
-                         base_c=args.base_c, dtype=dtype, remat=args.remat)
+                         base_c=args.base_c, dtype=dtype,
+                         remat="fine" if args.remat_fine else args.remat)
     sched = warmup_poly_schedule(args.lr, len(train_loader), args.epochs)
     state = create_train_state(model, jax.random.key(args.seed),
                                (1, 64, 64, 3), sched,

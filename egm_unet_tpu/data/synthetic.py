@@ -32,17 +32,30 @@ def synthetic_tp_sample(index: int, h: int = 565, w: int = 752):
 
 
 class SyntheticTPDataset:
-    """Duck-typed like DriveDataset."""
+    """Duck-typed like DriveDataset.
 
-    def __init__(self, n: int = 32, transforms=None, h: int = 565, w: int = 752):
+    ``cache=True`` keeps the raw (pre-transform) uint8 samples in memory
+    after first generation — for multi-epoch training runs the ~20 ms/image
+    procedural generation would otherwise dominate the host-side loader
+    (876 images ≈ 18 s/epoch); stochastic transforms still re-run per epoch.
+    """
+
+    def __init__(self, n: int = 32, transforms=None, h: int = 565, w: int = 752,
+                 cache: bool = False):
         self.n, self.transforms, self.h, self.w = n, transforms, h, w
         self.names = [f"synth{i:04d}" for i in range(n)]
+        self._cache = {} if cache else None
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, idx: int):
-        img, mask = synthetic_tp_sample(idx, self.h, self.w)
+        if self._cache is not None and idx in self._cache:
+            img, mask = self._cache[idx]
+        else:
+            img, mask = synthetic_tp_sample(idx, self.h, self.w)
+            if self._cache is not None:
+                self._cache[idx] = (img, mask)
         if self.transforms is not None:
             return self.transforms(img, mask)
         return img, mask

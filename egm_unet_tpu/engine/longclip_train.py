@@ -16,6 +16,8 @@ without an axis name.
 
 from __future__ import annotations
 
+import math
+
 from functools import partial
 from typing import Callable, Optional
 
@@ -139,7 +141,7 @@ def make_longclip_loss_fn(model, mesh=None, ratio_short: float = 0.1):
 
 # --------------------------------------------------------------- train loop
 
-MAX_LOGIT_SCALE = float(jnp.log(100.0))  # upstream CLIP's post-step clamp
+MAX_LOGIT_SCALE = math.log(100.0)  # upstream CLIP's post-step clamp
 
 
 class LongClipTrainState(train_state.TrainState):

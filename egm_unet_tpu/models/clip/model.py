@@ -30,6 +30,29 @@ from egm_unet_tpu.ops.resize import resize_bicubic
 KEEP_LEN = 20  # Long-CLIP keeps the first 20 positions verbatim
 
 
+def resolve_attn_impl(impl: Optional[str]) -> str:
+    """Resolve 'auto' to 'pallas' (TPU) or 'xla' at *trace time*.
+
+    The platform is taken from the active concrete mesh when one is set
+    (``jax.set_mesh``), so tracing under a TPU mesh from a CPU host picks the
+    right kernel; otherwise it falls back to ``jax.default_backend()``.
+    Remaining limit: AOT lowering for TPU *without* a mesh on a CPU-default
+    host still resolves to 'xla' — pass ``attn_impl='pallas'`` explicitly
+    there."""
+    if impl not in (None, "auto"):
+        return impl
+    try:
+        from jax._src.mesh import get_concrete_mesh
+
+        mesh = get_concrete_mesh()
+        if mesh is not None and getattr(mesh, "devices", None) is not None \
+                and mesh.devices.size:
+            return "pallas" if mesh.devices.flat[0].platform == "tpu" else "xla"
+    except Exception:
+        pass
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 @dataclasses.dataclass(frozen=True)
 class CLIPConfig:
     embed_dim: int = 512
@@ -90,9 +113,7 @@ class ResidualAttentionBlock(nn.Module):
         qkv = nn.Dense(3 * self.width, dtype=self.dtype, param_dtype=jnp.float32,
                        name="in_proj")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        impl = self.attn_impl
-        if impl in (None, "auto"):
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = resolve_attn_impl(self.attn_impl)
         if csa and impl == "pallas" and not return_weights and mult_mask is None:
             from egm_unet_tpu.ops.pallas.csa import csa_attention
 
@@ -253,8 +274,21 @@ class CLIP(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.visual = VisionTransformer(cfg, self.dtype, attn_impl=self.attn_impl,
-                                        name="visual")
+        if isinstance(cfg.vision_layers, (tuple, list)):
+            # RN checkpoints ("RN50"...) carry a tuple of per-stage block
+            # counts; the reference's build does the same dispatch
+            # (ref: clip/model.py:436-449)
+            from egm_unet_tpu.models.clip.resnet import ModifiedResNet
+
+            self.visual = ModifiedResNet(
+                layers=tuple(cfg.vision_layers), output_dim=cfg.embed_dim,
+                heads=cfg.vision_width * 32 // 64,
+                input_resolution=cfg.image_resolution, width=cfg.vision_width,
+                dtype=self.dtype, name="visual")
+        else:
+            self.visual = VisionTransformer(cfg, self.dtype,
+                                            attn_impl=self.attn_impl,
+                                            name="visual")
         self.token_embedding = nn.Embed(cfg.vocab_size, cfg.transformer_width,
                                         embedding_init=nn.initializers.normal(0.02),
                                         param_dtype=jnp.float32,
@@ -309,6 +343,10 @@ class CLIP(nn.Module):
     def visual_forward_dense(self, image, extract_layers: Sequence[int]):
         """Dense ViT pass with per-layer activation extraction and CSA in all
         blocks — the CLIPSeg encoder contract (ref: models/clipseg.py:188-256)."""
+        if isinstance(self.cfg.vision_layers, (tuple, list)):
+            raise ValueError("dense extraction requires a ViT tower; the "
+                             "ModifiedResNet tower has no CSA/dense path "
+                             "(ref: models/clipseg.py is ViT-only)")
         return self.visual(image, csa=True, dense=True, extract_layers=extract_layers)
 
     def __call__(self, image, text):

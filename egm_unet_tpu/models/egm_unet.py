@@ -39,15 +39,19 @@ class DoubleConv1(nn.Module):
     use_mca: bool = True
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    mca_impl: Optional[str] = None  # None = respect $EGM_MCA_IMPL
+    fine_remat: bool = False  # checkpoint each ConvBNReLU (see DoubleConv)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = self.mid_features or self.features
-        x = ConvBNReLU(mid, self.dtype, fold_bn=self.fold_bn, name="conv1")(x, train)
+        CBR = (nn.remat(ConvBNReLU, static_argnums=(2,)) if self.fine_remat
+               else ConvBNReLU)
+        x = CBR(mid, self.dtype, fold_bn=self.fold_bn, name="conv1")(x, train)
         if self.use_mca:
-            x = MCALayer(dtype=self.dtype, name="mca")(x)
-        x = ConvBNReLU(self.features, self.dtype, fold_bn=self.fold_bn,
-                       name="conv2")(x, train)
+            x = MCALayer(dtype=self.dtype, impl=self.mca_impl, name="mca")(x)
+        x = CBR(self.features, self.dtype, fold_bn=self.fold_bn,
+                name="conv2")(x, train)
         if self.block == "edge":
             x = EdgeEnhancedGRFB(self.features, stride=1, scale=0.1, visual=12,
                                  dtype=self.dtype, fold_bn=self.fold_bn,
@@ -71,25 +75,33 @@ class EGMUNet(nn.Module):
     use_mca: bool = True
     dtype: Any = jnp.float32
     fold_bn: bool = False
-    # rematerialize each encoder/decoder stage in the backward pass
-    # (jax.checkpoint): trades ~1/3 more FLOPs for O(stage) activation
-    # memory, unlocking large-batch training (bs>=64 at 480px OOMs without
-    # it).  The reference has no equivalent (torch keeps all activations).
-    remat: bool = False
+    # rematerialize stages in the backward pass (jax.checkpoint):
+    #   True/'stage' — checkpoint each encoder/decoder stage: ~1/3 more
+    #     FLOPs for O(stage) activation memory (bs>=64 at 480px OOMs
+    #     without it);
+    #   'fine' — additionally checkpoint each ConvBNReLU inside the stages
+    #     with the upsample+concat folded into the first decoder conv, so
+    #     the backward holds one conv-wide temp at a time (unlocks bs 128).
+    # The reference has no equivalent (torch keeps all activations).
+    remat: Any = False  # False | True | 'stage' | 'fine'
+    mca_impl: Optional[str] = None  # None = respect $EGM_MCA_IMPL
+    up_impl: Optional[str] = None  # None = respect $EGM_UP_IMPL
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.base_c
         factor = 2 if self.bilinear else 1
+        fine = self.remat == "fine"
         DC1 = nn.remat(DoubleConv1, static_argnums=(2,)) if self.remat else DoubleConv1
         DC = nn.remat(DoubleConv, static_argnums=(2,)) if self.remat else DoubleConv
         UpM = nn.remat(Up, static_argnums=(3,)) if self.remat else Up
 
         def down(feats, name):
             return DC1(feats, block=self.block, use_mca=self.use_mca,
-                       dtype=self.dtype, fold_bn=self.fold_bn, name=name)
+                       dtype=self.dtype, fold_bn=self.fold_bn,
+                       mca_impl=self.mca_impl, fine_remat=fine, name=name)
 
-        x1 = DC(c, dtype=self.dtype, fold_bn=self.fold_bn,
+        x1 = DC(c, dtype=self.dtype, fold_bn=self.fold_bn, fine_remat=fine,
                 name="in_conv")(x, train)
         x2 = down(c * 2, "down1")(max_pool2d(x1), train)
         x3 = down(c * 4, "down2")(max_pool2d(x2), train)
@@ -101,9 +113,10 @@ class EGMUNet(nn.Module):
                                          name="attn1")(x5)
 
         fb = self.fold_bn
-        x = UpM(c * 8 // factor, self.bilinear, self.dtype, fb, name="up1")(x5, x4, train)
-        x = UpM(c * 4 // factor, self.bilinear, self.dtype, fb, name="up2")(x, x3, train)
-        x = UpM(c * 2 // factor, self.bilinear, self.dtype, fb, name="up3")(x, x2, train)
-        x = UpM(c, self.bilinear, self.dtype, fb, name="up4")(x, x1, train)
+        ui = self.up_impl
+        x = UpM(c * 8 // factor, self.bilinear, self.dtype, fb, ui, fine, name="up1")(x5, x4, train)
+        x = UpM(c * 4 // factor, self.bilinear, self.dtype, fb, ui, fine, name="up2")(x, x3, train)
+        x = UpM(c * 2 // factor, self.bilinear, self.dtype, fb, ui, fine, name="up3")(x, x2, train)
+        x = UpM(c, self.bilinear, self.dtype, fb, ui, fine, name="up4")(x, x1, train)
         logits = Conv(self.num_classes, 1, dtype=self.dtype, name="out_conv")(x)
         return {"out": logits.astype(jnp.float32)}

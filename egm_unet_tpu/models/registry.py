@@ -33,21 +33,26 @@ def create_model(
     dtype: Any = jnp.float32,
     fold_bn: bool = False,
     remat: bool = False,
+    mca_impl=None,
+    up_impl=None,
 ):
     """Build a model by name (ref: train.py:57-60 create_model).
 
     ``fold_bn=True`` builds the inference-specialized graph (no BatchNorm
     ops; convs carry folded biases) — pair with
     ``models.fold_bn.fold_bn_variables``.  ``remat=True`` (EGM family)
-    checkpoints each stage for large-batch training.
+    checkpoints each stage for large-batch training.  ``mca_impl`` /
+    ``up_impl`` select kernel implementations per-instance (None = respect
+    the $EGM_MCA_IMPL / $EGM_UP_IMPL env defaults at trace time).
     """
     if name == "unet":
         return UNet(in_channels=in_channels, num_classes=num_classes,
                     bilinear=bilinear, base_c=base_c, dtype=dtype,
-                    fold_bn=fold_bn)
+                    fold_bn=fold_bn, up_impl=up_impl)
     if name in MODEL_CONFIGS:
         return EGMUNet(in_channels=in_channels, num_classes=num_classes,
                        bilinear=bilinear, base_c=base_c, dtype=dtype,
-                       fold_bn=fold_bn, remat=remat, **MODEL_CONFIGS[name])
+                       fold_bn=fold_bn, remat=remat, mca_impl=mca_impl,
+                       up_impl=up_impl, **MODEL_CONFIGS[name])
     raise ValueError(f"unknown model {name!r}; choose from "
                      f"{['unet', *MODEL_CONFIGS]}")

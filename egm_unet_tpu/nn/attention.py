@@ -62,18 +62,21 @@ class MCAGate(nn.Module):
     @nn.compact
     def __call__(self, x, return_gate: bool = False):
         reduce_axes = tuple(a for a in (1, 2, 3) if a != self.axis)
-        # one streaming pass: avg and std from the two moments (E[x], E[x²])
-        # in one multi-output reduction fusion, instead of mean + std's
-        # separate full-tensor passes (each pass at encoder resolution is
-        # ~1 GB of HBM traffic at batch 128)
+        # centered second moment (mean pass, then E[(x-mean)²] pass): the
+        # single-pass E[x²]-E[x]² form loses ~log2(mean²/var) bits to
+        # cancellation on post-ReLU activations whose mean dwarfs the spread,
+        # which can flip the sigmoid gate vs the torch oracle.  Both reduces
+        # still fuse tensor-wide; the extra read of x is ~2 GB/s-level noise
+        # next to the conv traffic (PERF.md).
         xf = x.astype(jnp.float32)
         n = 1
         for a in reduce_axes:
             n *= x.shape[a]
         avg = jnp.mean(xf, axis=reduce_axes)
-        ex2 = jnp.mean(xf * xf, axis=reduce_axes)
-        var = (ex2 - avg * avg) * (n / max(n - 1, 1))  # ddof=1
-        std = jnp.sqrt(jnp.maximum(var, 0.0))
+        keep = avg.reshape([x.shape[0]] + [x.shape[self.axis] if a == self.axis
+                                           else 1 for a in (1, 2, 3)])
+        var = jnp.mean((xf - keep) ** 2, axis=reduce_axes) * (n / max(n - 1, 1))
+        std = jnp.sqrt(var)
         w = self.param("weight", nn.initializers.uniform(scale=1.0), (2,), jnp.float32)
         sw = jax.nn.sigmoid(w)
         blended = 0.5 * (avg + std) + sw[0] * avg + sw[1] * std

@@ -157,3 +157,19 @@ class HEGDC(nn.Module):
                  dtype=self.dtype, name="conv2")(y)
         y = BatchNorm(dtype=self.dtype, name="bn2")(y, train)
         return nn.relu(y)
+
+
+def soft_pooling_2d(x: jax.Array) -> jax.Array:
+    """Global exponential-weighted (soft) pool over H,W: [B,H,W,C] ->
+    [B,1,1,C] of sum(e^x * x) / sum(e^x) (ref: src/EGM-UNet.py:804-826
+    SoftPooling2D — dead code; nothing in the reference instantiates it).
+
+    Computed via a shifted log-sum-exp so large activations don't overflow:
+    softpool(x) = sum(softmax(x) * x) over the spatial axes.
+    """
+    xf = x.astype(jnp.float32)
+    b, h, w, c = x.shape
+    flat = xf.reshape(b, h * w, c)
+    weights = jax.nn.softmax(flat, axis=1)
+    out = jnp.sum(weights * flat, axis=1)
+    return out.reshape(b, 1, 1, c).astype(x.dtype)

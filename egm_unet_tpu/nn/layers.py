@@ -46,7 +46,7 @@ class Conv(nn.Module):
         p = self.padding if isinstance(self.padding, (tuple, list)) else (
             self.padding, self.padding)
         fan_in = (x.shape[-1] // self.groups) * k[0] * k[1]
-        return nn.Conv(
+        conv = nn.Conv(
             features=self.features,
             kernel_size=tuple(k),
             strides=(self.stride, self.stride),
@@ -62,7 +62,24 @@ class Conv(nn.Module):
                 key, shape, dtype, fan_in),
             dtype=self.dtype,
             param_dtype=jnp.float32,
-        )(x)
+        )
+
+        from egm_unet_tpu.ops.quant import current_quant_mode
+
+        if current_quant_mode() == "int8":
+            # serving-only int8 path (ops/quant.py): same param tree — the
+            # dummy call materializes the nn.Conv params, XLA removes it
+            from egm_unet_tpu.ops.quant import int8_conv
+
+            _ = conv(jnp.zeros((1, k[0] + 2, k[1] + 2, x.shape[-1]), x.dtype))
+            params = conv.variables["params"]
+            return int8_conv(
+                x, params["kernel"], params.get("bias"),
+                stride=(self.stride, self.stride),
+                padding=((int(p[0]), int(p[0])), (int(p[1]), int(p[1]))),
+                dilation=(self.dilation, self.dilation),
+                groups=self.groups)
+        return conv(x)
 
 
 class BatchNorm(nn.Module):
@@ -118,36 +135,74 @@ class BasicConv(nn.Module):
         return x
 
 
+def pad_to_match(x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """Zero-pad x1 spatially to x2's H/W (ref: src/unet.py:40-44 /
+    src/EGM-UNet.py:940-945).  Shapes are static under jit."""
+    dy = x2.shape[1] - x1.shape[1]
+    dx = x2.shape[2] - x1.shape[2]
+    if dy == 0 and dx == 0:
+        return x1
+    return jnp.pad(
+        x1, ((0, 0), (dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0))
+    )
+
+
 class ConvBNReLU(nn.Module):
     """conv3x3(pad 1, no bias) -> BN(default momentum) -> ReLU — one half of
     DoubleConv (ref: src/EGM-UNet.py:44-55).  ``fold_bn``: see BasicConv.
 
-    ``up_pair=(x2, x1)`` (fold_bn graphs only) runs the fused Pallas decoder
-    stage instead: relu(conv3x3(concat([x2, up2x(x1)])) + bias) in one kernel
-    (ops/pallas/upconv.py).  The param tree is identical either way — the
-    same Conv submodule provides the kernel/bias.
+    ``up_pair=(x2, x1)`` runs the decoder-stage form
+    relu(conv3x3(concat([x2, up2x(x1)]))) with the upsample+concat INSIDE
+    this module: under ``nn.remat`` the saved residuals are then the small
+    (x2, x1) pair rather than the full-width concat — the decoder concat
+    temporaries were exactly what OOM'd bs-128 training (PERF.md round 2).
+    On folded graphs with ``up_impl='pallas'`` it instead calls the fused
+    Pallas kernel (ops/pallas/upconv.py).  The param tree is identical in
+    every mode — the same Conv submodule provides the kernel/bias.
     """
 
     features: int
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    up_impl: Optional[str] = None  # None = respect $EGM_UP_IMPL
 
     @nn.compact
     def __call__(self, x, train: bool = False, *, up_pair=None):
+        import os
+
         conv = Conv(self.features, 3, padding=1, use_bias=self.fold_bn,
                     dtype=self.dtype)
         if up_pair is not None:
-            assert self.fold_bn, "fused up path requires the folded graph"
             x2, x1 = up_pair
-            cin = x2.shape[-1] + x1.shape[-1]
-            # materialize the conv's (identical) params without running it;
-            # the dummy op is dead code XLA removes
-            _ = conv(jnp.zeros((1, 3, 3, cin), x1.dtype))
-            p = conv.variables["params"]["Conv_0"]
+            impl = self.up_impl or os.environ.get("EGM_UP_IMPL", "xla")
+            # the fused kernel pads channels to a 128 multiple on real TPUs
+            # (ops/pallas/upconv.py DMA alignment) — at up3/up4 (C=64/32,
+            # large maps) that 2-4x HBM blowup OOMs; only take aligned stages
+            lanes_ok = (jax.default_backend() != "tpu"
+                        or (x1.shape[-1] % 128 == 0 and x2.shape[-1] % 128 == 0))
+            if (self.fold_bn and not train and impl == "pallas" and lanes_ok
+                    and x2.shape[1] == 2 * x1.shape[1]
+                    and x2.shape[2] == 2 * x1.shape[2]):
+                cin = x2.shape[-1] + x1.shape[-1]
+                # materialize the conv's (identical) params without running
+                # it; the dummy op is dead code XLA removes
+                _ = conv(jnp.zeros((1, 3, 3, cin), x1.dtype))
+                p = conv.variables["params"]["Conv_0"]
 
-            from egm_unet_tpu.ops.pallas.upconv import up_concat_conv
+                from egm_unet_tpu.ops.pallas.upconv import up_concat_conv
 
-            return up_concat_conv(x2, x1, p["kernel"], p["bias"])
+                return up_concat_conv(x2, x1, p["kernel"], p["bias"])
+
+            from egm_unet_tpu.ops.resize import upsample2x_bilinear_align_corners
+
+            x1 = upsample2x_bilinear_align_corners(x1)
+            if os.environ.get("EGM_UP_BARRIER", "0") == "1":
+                # materialize the resize result so XLA can't fuse the resize
+                # matmuls into the consumer conv's operand (experiment
+                # switch, like EGM_MCA_BARRIER; see PERF.md)
+                x1 = jax.lax.optimization_barrier(x1)
+            x1 = pad_to_match(x1, x2)
+            x = jnp.concatenate([x2, x1], axis=-1)
         x = conv(x)
         if not self.fold_bn:
             x = BatchNorm(dtype=self.dtype)(x, train)
@@ -156,20 +211,31 @@ class ConvBNReLU(nn.Module):
 
 class DoubleConv(nn.Module):
     """(conv3x3 BN ReLU) x2 with optional mid width
-    (ref: src/EGM-UNet.py:44-55, src/unet.py:7-19)."""
+    (ref: src/EGM-UNet.py:44-55, src/unet.py:7-19).
+
+    ``fine_remat`` checkpoints each ConvBNReLU individually (explicit names
+    keep the param tree identical), so a decoder stage's backward holds one
+    conv-wide temporary at a time instead of the whole stage — the last
+    memory cliff between bs-64 and bs-128 training at 480px."""
 
     features: int
     mid_features: Optional[int] = None
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    up_impl: Optional[str] = None
+    fine_remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, *, up_pair=None):
         import os
 
         mid = self.mid_features or self.features
-        cbr1 = ConvBNReLU(mid, self.dtype, fold_bn=self.fold_bn)
-        cbr2 = ConvBNReLU(self.features, self.dtype, fold_bn=self.fold_bn)
+        CBR = (nn.remat(ConvBNReLU, static_argnums=(2,)) if self.fine_remat
+               else ConvBNReLU)
+        cbr1 = CBR(mid, self.dtype, fold_bn=self.fold_bn,
+                   up_impl=self.up_impl, name="ConvBNReLU_0")
+        cbr2 = CBR(self.features, self.dtype, fold_bn=self.fold_bn,
+                   name="ConvBNReLU_1")
 
         max_c = int(os.environ.get("EGM_DC_S2D_MAXC", "64"))
         if (self.fold_bn and up_pair is None and not train and x.ndim == 4

@@ -46,6 +46,8 @@ def _pool9(a, op):
 
 def _mca_kernel(h: int, w: int, tile_h: int, groups: int, c_real: int,
                 out_dtype, xp_hbm, out_ref, slab, sem):
+    # slab rows hold the 8-aligned padded width (>= w+8); columns beyond
+    # w+4 are junk dropped below
     th = tile_h
     b = pl.program_id(0)
     ht = pl.program_id(1)
@@ -144,8 +146,11 @@ def mca_fused(x: jax.Array, g_h: jax.Array, g_w: jax.Array, g_c: jax.Array,
             + g_w.astype(jnp.float32)[:, None, :, None]
             + g_c.astype(jnp.float32)[:, None, None, :]) / 3.0
     x_out = (x.astype(jnp.float32) * gsum).astype(x.dtype)
-    # width 8-aligned, channels lane-aligned
-    xp = jnp.pad(x_out, ((0, 0), (2, 2), (2, 6), (0, cp - c)))
+    # width 8-aligned (the DMA slice's second-to-minor dim must be a multiple
+    # of 8 — pad the total padded width, not just w+8, so odd w works too),
+    # channels lane-aligned
+    wr = 4 + (-(w + 8) % 8)  # right pad >= 4; (w + 4 + wr) % 8 == 0
+    xp = jnp.pad(x_out, ((0, 0), (2, 2), (2, wr), (0, cp - c)))
 
     kernel = functools.partial(_mca_kernel, h, w, th, groups, c, x.dtype)
     grid = (b, h // th)
@@ -159,7 +164,7 @@ def mca_fused(x: jax.Array, g_h: jax.Array, g_w: jax.Array, g_c: jax.Array,
         out_specs=pl.BlockSpec((1, th, w, cp), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 4, w + 8, cp), x.dtype),
+            pltpu.VMEM((2, th + 4, w + 4 + wr, cp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

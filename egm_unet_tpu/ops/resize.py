@@ -142,13 +142,20 @@ def _spatial_axes(ndim: int):
 
 def _apply_separable(x: jax.Array, ah: np.ndarray, aw: np.ndarray) -> jax.Array:
     """Matrix-based separable resample (kept for bicubic, where 4-tap
-    gathers would not beat two small matmuls)."""
+    gathers would not beat two small matmuls).
+
+    ``$EGM_RESIZE_ACC=native`` drops the f32 ``preferred_element_type`` so a
+    bf16 resize emits bf16 matmul outputs directly (saves the convert fusion
+    around each decoder resize; the MXU still accumulates in f32 internally)."""
+    import os
+
     dtype = x.dtype
     compute = dtype if dtype in (jnp.float32, jnp.bfloat16, jnp.float16) else jnp.float32
     xf = x.astype(compute)
     ah_j = jnp.asarray(ah, compute)
     aw_j = jnp.asarray(aw, compute)
-    kw = dict(preferred_element_type=jnp.float32)
+    kw = ({} if os.environ.get("EGM_RESIZE_ACC") == "native"
+          else dict(preferred_element_type=jnp.float32))
     if x.ndim == 4:  # NHWC
         y = jnp.einsum("ph,bhwc->bpwc", ah_j, xf, **kw).astype(compute)
         y = jnp.einsum("qw,bpwc->bpqc", aw_j, y, **kw)

@@ -35,6 +35,9 @@ class PredictorConfig:
     # measured defaults). None = respect $EGM_MCA_IMPL / $EGM_UP_IMPL.
     mca_impl: Optional[str] = None
     up_impl: Optional[str] = None
+    # 'int8': serving-only dynamic quantization (ops/quant.py) — off-parity
+    # (bench.py reports the mask-agreement stat); None = full precision
+    quant: Optional[str] = None
 
 
 class Predictor:
@@ -49,7 +52,8 @@ class Predictor:
         fold = config.fold_bn and "batch_stats" in variables
         self.model = create_model(config.model_name, num_classes=config.num_classes,
                                   base_c=config.base_c, dtype=self.dtype,
-                                  fold_bn=fold)
+                                  fold_bn=fold, mca_impl=config.mca_impl,
+                                  up_impl=config.up_impl)
         if fold:
             variables = fold_bn_variables(variables)
         if self.dtype == jnp.bfloat16:
@@ -80,22 +84,27 @@ class Predictor:
                    config, **kw)
 
     def _forward(self, bucket_hw):
+        # impl switches travel as module attributes (create_model above), so
+        # tracing here never touches process-global env state; the quant mode
+        # is a contextvar held around every call (jit traces lazily on the
+        # first real batch, so the context must wrap calls, not the def)
         key = bucket_hw
         if key not in self._compiled:
-            import os
-
-            # impl switches are read at trace time by the modules
-            if self.cfg.mca_impl:
-                os.environ["EGM_MCA_IMPL"] = self.cfg.mca_impl
-            if self.cfg.up_impl:
-                os.environ["EGM_UP_IMPL"] = self.cfg.up_impl
-
             @jax.jit
             def fwd(v, x):
                 return jnp.argmax(
                     self.model.apply(v, x, train=False)["out"], axis=-1)
 
-            self._compiled[key] = fwd
+            if self.cfg.quant:
+                from egm_unet_tpu.ops.quant import quantized
+
+                def fwd_q(v, x, _fwd=fwd):
+                    with quantized(self.cfg.quant):
+                        return _fwd(v, x)
+
+                self._compiled[key] = fwd_q
+            else:
+                self._compiled[key] = fwd
         return self._compiled[key]
 
     def _preprocess(self, image: np.ndarray):

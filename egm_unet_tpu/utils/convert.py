@@ -59,15 +59,26 @@ def _resblock(sd, prefix):
 
 def infer_clip_config(sd) -> dict:
     """Shape-inferring factory, mirroring build_model
-    (ref: clip/model.py:654-690)."""
-    vision_width = sd["visual.conv1.weight"].shape[0]
-    vision_layers = len([k for k in sd
-                         if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")])
-    vision_patch_size = sd["visual.conv1.weight"].shape[-1]
-    grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+    (ref: clip/model.py:654-690).  ``visual.proj`` present -> ViT tower;
+    otherwise the ModifiedResNet config tuple (ref: clip/model.py:663-670)."""
+    if "visual.proj" in sd:
+        vision_width = sd["visual.conv1.weight"].shape[0]
+        vision_layers = len([k for k in sd
+                             if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")])
+        vision_patch_size = sd["visual.conv1.weight"].shape[-1]
+        grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        image_resolution = vision_patch_size * grid
+    else:
+        vision_layers = tuple(
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}")})
+            for b in (1, 2, 3, 4))
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        out_w = round((sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+        vision_patch_size = 0
+        image_resolution = out_w * 32
     return dict(
         embed_dim=sd["text_projection"].shape[1],
-        image_resolution=vision_patch_size * grid,
+        image_resolution=image_resolution,
         vision_layers=vision_layers,
         vision_width=vision_width,
         vision_patch_size=vision_patch_size,
@@ -81,20 +92,59 @@ def infer_clip_config(sd) -> dict:
     )
 
 
-def clip_from_torch(sd: Dict[str, "np.ndarray"], n_vision_layers: int,
-                    n_text_layers: int) -> dict:
-    """Torch CLIP state dict -> params for models.clip.model.CLIP."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
-    visual = {
-        "conv1": conv_oihw(sd, "visual.conv1"),
-        "class_embedding": _t(sd["visual.class_embedding"]),
-        "positional_embedding": _t(sd["visual.positional_embedding"]),
-        "ln_pre": layernorm(sd, "visual.ln_pre"),
-        "ln_post": layernorm(sd, "visual.ln_post"),
-        "proj": _t(sd["visual.proj"]),
+def _inference_bn(sd, prefix):
+    """torch BatchNorm2d buffers -> InferenceBatchNorm params
+    (models/clip/resnet.py)."""
+    return {"scale": _t(sd[f"{prefix}.weight"]),
+            "bias": _t(sd[f"{prefix}.bias"]),
+            "mean": _t(sd[f"{prefix}.running_mean"]),
+            "var": _t(sd[f"{prefix}.running_var"])}
+
+
+def _rn_visual(sd, stage_blocks) -> dict:
+    """ModifiedResNet tower state dict -> params (ref: clip/model.py:106-157
+    module names; flax names per models/clip/resnet.py)."""
+    visual = {}
+    for i in (1, 2, 3):
+        visual[f"stem_conv{i}"] = conv_oihw(sd, f"visual.conv{i}")
+        visual[f"stem_bn{i}"] = _inference_bn(sd, f"visual.bn{i}")
+    for stage, blocks in enumerate(stage_blocks, start=1):
+        for b in range(blocks):
+            p = f"visual.layer{stage}.{b}"
+            blk = {f"conv{j}": conv_oihw(sd, f"{p}.conv{j}") for j in (1, 2, 3)}
+            blk.update({f"bn{j}": _inference_bn(sd, f"{p}.bn{j}") for j in (1, 2, 3)})
+            if f"{p}.downsample.0.weight" in sd:
+                blk["ds_conv"] = conv_oihw(sd, f"{p}.downsample.0")
+                blk["ds_bn"] = _inference_bn(sd, f"{p}.downsample.1")
+            visual[f"layer{stage}_{b}"] = blk
+    visual["attnpool"] = {
+        "positional_embedding": _t(sd["visual.attnpool.positional_embedding"]),
+        "q_proj": linear(sd, "visual.attnpool.q_proj"),
+        "k_proj": linear(sd, "visual.attnpool.k_proj"),
+        "v_proj": linear(sd, "visual.attnpool.v_proj"),
+        "c_proj": linear(sd, "visual.attnpool.c_proj"),
     }
-    for i in range(n_vision_layers):
-        visual[f"resblock{i}"] = _resblock(sd, f"visual.transformer.resblocks.{i}")
+    return visual
+
+
+def clip_from_torch(sd: Dict[str, "np.ndarray"], n_vision_layers,
+                    n_text_layers: int) -> dict:
+    """Torch CLIP state dict -> params for models.clip.model.CLIP.
+    ``n_vision_layers``: int (ViT depth) or tuple (RN per-stage blocks)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if isinstance(n_vision_layers, (tuple, list)):
+        visual = _rn_visual(sd, tuple(n_vision_layers))
+    else:
+        visual = {
+            "conv1": conv_oihw(sd, "visual.conv1"),
+            "class_embedding": _t(sd["visual.class_embedding"]),
+            "positional_embedding": _t(sd["visual.positional_embedding"]),
+            "ln_pre": layernorm(sd, "visual.ln_pre"),
+            "ln_post": layernorm(sd, "visual.ln_post"),
+            "proj": _t(sd["visual.proj"]),
+        }
+        for i in range(n_vision_layers):
+            visual[f"resblock{i}"] = _resblock(sd, f"visual.transformer.resblocks.{i}")
 
     params = {
         "visual": visual,

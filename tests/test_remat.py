@@ -49,3 +49,41 @@ def test_remat_param_tree_identical(setup):
     m0, m1, x, v = setup
     v1 = m1.init(jax.random.key(0), x, train=True)
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v1)
+
+
+@pytest.fixture(scope="module")
+def setup_fine():
+    m0 = create_model("egm_unet", base_c=8)
+    m2 = create_model("egm_unet", base_c=8, remat="fine")
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 32, 32, 3)),
+                    jnp.float32)
+    v = m0.init(jax.random.key(0), x, train=True)
+    return m0, m2, x, v
+
+
+def test_fine_remat_forward_and_grads_match(setup_fine):
+    """remat='fine' (per-conv checkpointing with upsample+concat inside the
+    decoder conv boundary — the bs-128 enabler) is graph-equivalent."""
+    m0, m2, x, v = setup_fine
+    o0, _ = m0.apply(v, x, train=True, mutable=["batch_stats"])
+    o2, _ = m2.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o0["out"]), np.asarray(o2["out"]),
+                               atol=1e-5)
+
+    def grads(m):
+        def f(p):
+            out, _ = m.apply({**v, "params": p}, x, train=True,
+                             mutable=["batch_stats"])
+            return jnp.sum(out["out"] ** 2)
+        return jax.grad(f)(v["params"])
+
+    for a, b in zip(jax.tree_util.tree_leaves(grads(m0)),
+                    jax.tree_util.tree_leaves(grads(m2))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-3)
+
+
+def test_fine_remat_param_tree_identical(setup_fine):
+    m0, m2, x, v = setup_fine
+    v2 = m2.init(jax.random.key(0), x, train=True)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
