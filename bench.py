@@ -50,6 +50,9 @@ def chained_train(step_fn, n_iters: int):
     scan carry, so the chain is inherently serial); returns the summed loss
     (depends on every step) as the fetch scalar."""
 
+    # NOTE: no buffer donation here — the two-point methodology re-invokes
+    # the same program with the same state (donation would invalidate it);
+    # cli/train.py (the real loop) donates.
     @jax.jit
     def run(state, images, targets):
         def body(carry, _):
@@ -228,6 +231,21 @@ def bench_inference(args, quant=None, batches=None, emit_json=True):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model, variables = _build_inference(args, dtype)
     qctx = (lambda: quantized(quant)) if quant else contextlib.nullcontext
+
+    if quant == "int8":
+        # static activation scales: one calibration forward (full precision,
+        # abs-max sow per conv) so the serving graph quantizes with jit
+        # constants — the quantize then fuses into each producer and
+        # activations stream HBM at int8 (the dynamic per-input abs-max
+        # variant measured SLOWER than bf16: 367 vs 475 img/s)
+        from egm_unet_tpu.ops.quant import calibrate_quant_scales
+
+        xc = jnp.asarray(np.random.default_rng(7).standard_normal(
+            (8, args.size, args.size, 3), dtype=np.float32), dtype)
+        scales = calibrate_quant_scales(model, variables, [xc])
+        variables = {**variables, "quant_scales": scales}
+        print(f"# int8 calibration: {len(jax.tree_util.tree_leaves(scales))} "
+              f"act scales", flush=True)
 
     best, best_bs, best_ms = 0.0, 0, 0.0
     for bs in [int(b) for b in (batches or args.batches).split(",")]:

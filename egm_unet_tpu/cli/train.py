@@ -155,7 +155,10 @@ def main(argv=None):
 
         state = jax.device_put(state, replicated(mesh))
 
-    train_step = jax.jit(make_train_step(num_classes=num_classes))
+    # donate the state: params/opt-state/BN-stats buffers are reused in
+    # place instead of allocating a second copy per step
+    train_step = jax.jit(make_train_step(num_classes=num_classes),
+                         donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(num_classes=num_classes))
     results = ResultsWriter(args.results_file)
 

@@ -66,19 +66,35 @@ class Conv(nn.Module):
 
         from egm_unet_tpu.ops.quant import current_quant_mode
 
-        if current_quant_mode() == "int8":
+        mode = current_quant_mode()
+        if mode == "calibrate":
+            # full-precision forward, recording this conv input's abs-max
+            # into the quant_stats collection (ops/quant.py
+            # calibrate_quant_scales turns it into static act_scales)
+            self.sow("quant_stats", "act_absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.asarray(0.0, jnp.float32))
+            return conv(x)
+        if mode == "int8":
             # serving-only int8 path (ops/quant.py): same param tree — the
-            # dummy call materializes the nn.Conv params, XLA removes it
+            # dummy call materializes the nn.Conv params, XLA removes it.
+            # A calibrated static act_scale (quant_scales collection) lets
+            # XLA fuse the quantize into the producer; absent that, the
+            # scale is computed dynamically per input.
             from egm_unet_tpu.ops.quant import int8_conv
 
             _ = conv(jnp.zeros((1, k[0] + 2, k[1] + 2, x.shape[-1]), x.dtype))
             params = conv.variables["params"]
+            act_scale = (self.get_variable("quant_scales", "act_scale")
+                         if self.has_variable("quant_scales", "act_scale")
+                         else None)
             return int8_conv(
                 x, params["kernel"], params.get("bias"),
                 stride=(self.stride, self.stride),
                 padding=((int(p[0]), int(p[0])), (int(p[1]), int(p[1]))),
                 dilation=(self.dilation, self.dilation),
-                groups=self.groups)
+                groups=self.groups, act_scale=act_scale)
         return conv(x)
 
 

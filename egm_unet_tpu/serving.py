@@ -67,6 +67,10 @@ class Predictor:
         self.mean = TP_MEAN if mean is None else mean
         self.std = TP_STD if std is None else std
         self._compiled = {}
+        # int8: activation ranges are calibrated from the first real batch
+        # (static scales -> the quantize fuses into producers; see
+        # ops/quant.py)
+        self._calibrated = config.quant is None
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str,
@@ -139,6 +143,14 @@ class Predictor:
                 for row, i in enumerate(chunk):
                     p = prepped[i]
                     batch[row, : p.shape[0], : p.shape[1]] = p
+                if not self._calibrated:
+                    from egm_unet_tpu.ops.quant import calibrate_quant_scales
+
+                    scales = calibrate_quant_scales(
+                        self.model, self.variables,
+                        [jnp.asarray(batch, self.dtype)])
+                    self.variables = {**self.variables, "quant_scales": scales}
+                    self._calibrated = True
                 preds = np.asarray(fwd(self.variables,
                                        jnp.asarray(batch, self.dtype)))
                 for row, i in enumerate(chunk):

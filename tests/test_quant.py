@@ -69,3 +69,30 @@ def test_double_conv_agrees_under_int8():
     # param tree must be identical between the two paths (same checkpoint)
     assert (jax.tree_util.tree_structure(v2)
             == jax.tree_util.tree_structure(v))
+
+
+def test_calibrated_static_scales():
+    """calibrate_quant_scales produces a quant_scales tree that the int8
+    path consumes (static per-site scales; quantize fuses into producers on
+    TPU — the shipping serving config)."""
+    from egm_unet_tpu.nn.layers import DoubleConv
+    from egm_unet_tpu.ops.quant import calibrate_quant_scales
+
+    m = DoubleConv(8, fold_bn=True)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 4)), jnp.float32)
+    v = m.init(jax.random.key(0), x, False)
+    scales = calibrate_quant_scales(m, v, [x], train=False)
+    leaves = jax.tree_util.tree_leaves(scales)
+    assert len(leaves) == 2 and all(float(s) > 0 for s in leaves)
+
+    ref = m.apply(v, x, False)
+    with quantized("int8"):
+        q = m.apply({**v, "quant_scales": scales}, x, False)
+    rel = float(jnp.max(jnp.abs(q - ref))) / (float(jnp.max(jnp.abs(ref))) + 1e-9)
+    assert rel < 0.1, rel
+    # a fresh batch within the calibrated range also works (static scales)
+    x2 = jnp.asarray(rng.standard_normal((2, 16, 16, 4)) * 0.5, jnp.float32)
+    with quantized("int8"):
+        q2 = m.apply({**v, "quant_scales": scales}, x2, False)
+    assert np.isfinite(np.asarray(q2)).all()
