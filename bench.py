@@ -397,6 +397,18 @@ def verify_kernels(args):
     results["upconv"] = d
     print(f"# verify[{backend}] up_concat_conv: max|d|={d:.2e} "
           f"{'ok' if d < 1e-2 else 'FAIL'}", flush=True)
+
+    from egm_unet_tpu.ops.pallas.resize2x import upsample2x_fused
+
+    for shape in ((2, 32, 32, 256), (1, 256, 256, 32)):
+        xr = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+        ref = upsample2x_bilinear_align_corners(
+            xr.astype(jnp.float32))
+        d = float(jnp.max(jnp.abs(upsample2x_fused(xr).astype(jnp.float32)
+                                  - ref)))
+        results[f"resize2x{shape[1]}"] = d
+        print(f"# verify[{backend}] resize2x {shape}: max|d|={d:.2e} "
+              f"{'ok' if d < 5e-2 else 'FAIL'}", flush=True)
     return results
 
 

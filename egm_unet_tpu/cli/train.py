@@ -53,6 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--save-dir", default="save_weights")
     p.add_argument("--results-file", default=None)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--steps-per-dispatch", default=1, type=int,
+                   help="scan K train steps inside one jitted program "
+                        "(engine.make_train_multistep) — amortizes the "
+                        "per-launch host round-trip on tunneled/remote "
+                        "TPUs; incompatible with --device-aug")
     p.add_argument("--remat", action="store_true",
                    help="checkpoint each stage in backward (large batches)")
     p.add_argument("--remat-fine", action="store_true",
@@ -69,10 +74,12 @@ def main(argv=None):
 
     from egm_unet_tpu import metrics as M
     from egm_unet_tpu.data import DriveDataset, SyntheticTPDataset, collate_pad
-    from egm_unet_tpu.data.loader import BatchLoader
+    from egm_unet_tpu.data.loader import (BatchLoader, DevicePrefetcher,
+                                          SuperBatcher, narrow_for_transfer)
     from egm_unet_tpu.data.transforms import EvalTransform, TrainTransform
     from egm_unet_tpu.engine import (create_train_state, make_eval_step,
-                                     make_train_step, warmup_poly_schedule)
+                                     make_train_multistep, make_train_step,
+                                     warmup_poly_schedule)
     from egm_unet_tpu.models import create_model
     from egm_unet_tpu.parallel import get_mesh, shard_batch
     from egm_unet_tpu.utils import CheckpointManager, MetricLogger, ResultsWriter
@@ -157,13 +164,42 @@ def main(argv=None):
 
     # donate the state: params/opt-state/BN-stats buffers are reused in
     # place instead of allocating a second copy per step
-    train_step = jax.jit(make_train_step(num_classes=num_classes),
-                         donate_argnums=(0,))
+    k_steps = max(1, args.steps_per_dispatch)
+    if k_steps > 1 and device_augment is not None:
+        raise SystemExit("--steps-per-dispatch requires host-side "
+                         "transforms (drop --device-aug)")
+    if k_steps > 1:
+        train_step = jax.jit(make_train_multistep(num_classes=num_classes),
+                             donate_argnums=(0,))
+    else:
+        train_step = jax.jit(make_train_step(num_classes=num_classes),
+                             donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(num_classes=num_classes))
     results = ResultsWriter(args.results_file)
 
     import contextlib
     mesh_ctx = jax.set_mesh(mesh) if mesh else contextlib.nullcontext()
+
+    # one-batch-ahead H2D: narrow wire dtypes (bf16 images / uint8 masks)
+    # and start the device transfer from a worker thread so the tunneled
+    # copy of batch N+1 overlaps step N's compute (data/loader.py).  The
+    # device-aug path ships its raw f32 source crops unchanged — the
+    # augmentation program defines the compute dtype there.
+    def prepare_train(batch):
+        im, tg = batch
+        if device_augment is None:
+            im, tg = narrow_for_transfer(im, tg, dtype)
+        if mesh:
+            if k_steps > 1:
+                from egm_unet_tpu.parallel.mesh import shard_superbatch
+
+                return shard_superbatch(mesh, im, tg)
+            return shard_batch(mesh, im, tg)
+        return jax.device_put(im), jax.device_put(tg)
+
+    def prepare_val(batch):
+        im, tg = narrow_for_transfer(batch[0], batch[1], dtype)
+        return jax.device_put(im), jax.device_put(tg)
 
     with mesh_ctx:
         best_dice = -1.0
@@ -180,26 +216,30 @@ def main(argv=None):
             def flush_pending():
                 if not pending:
                     return
-                losses = np.asarray(jnp.stack([a["loss"] for a in pending]))
-                lrs = np.asarray(jnp.stack([a["lr"] for a in pending]))
+                # aux entries are scalars (K=1) or [K] scan stacks
+                losses = np.concatenate(
+                    [np.atleast_1d(np.asarray(a["loss"])) for a in pending])
+                lrs = np.concatenate(
+                    [np.atleast_1d(np.asarray(a["lr"])) for a in pending])
                 for lo, lr_ in zip(losses, lrs):
                     logger.update(loss=float(lo), lr=float(lr_))
                 pending.clear()
 
+            source = train_loader if k_steps == 1 else SuperBatcher(
+                train_loader, k_steps)
+            window = max(1, args.print_freq // k_steps)
             step_i = 0
             for images, targets in logger.log_every(
-                    iter(train_loader), args.print_freq, f"Epoch: [{epoch}]"):
+                    iter(DevicePrefetcher(source, prepare_train)),
+                    window, f"Epoch: [{epoch}]"):
                 if device_augment is not None:
                     aug_key, k = jax.random.split(aug_key)
-                    images, targets = device_augment(
-                        k, jnp.asarray(images), jnp.asarray(targets))
-                images = jnp.asarray(images, dtype)
-                targets = jnp.asarray(targets)
-                if mesh:
-                    images, targets = shard_batch(mesh, images, targets)
-                state, aux = train_step(state, images, targets)
+                    images, targets = device_augment(k, images, targets)
+                    images = images.astype(dtype)
+                state, aux = train_step(state, images,
+                                        targets.astype(jnp.int32))
                 pending.append(aux)
-                if step_i % args.print_freq == 0:  # logger prints after this body
+                if step_i % window == 0:  # logger prints after this body
                     flush_pending()
                 step_i += 1
             flush_pending()
@@ -208,9 +248,10 @@ def main(argv=None):
 
             confmat = M.confmat_init(num_classes)
             dice = M.dice_init()
-            for images, targets in val_loader:
-                confmat, dice = eval_step(state, jnp.asarray(images, dtype),
-                                          jnp.asarray(targets), confmat, dice)
+            for images, targets in DevicePrefetcher(val_loader, prepare_val):
+                confmat, dice = eval_step(state, images,
+                                          targets.astype(jnp.int32),
+                                          confmat, dice)
             block = M.confmat_str(confmat)
             dice_val = float(dice.value)
             print(block)

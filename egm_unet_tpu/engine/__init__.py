@@ -5,5 +5,6 @@ from egm_unet_tpu.engine.state import TrainState, create_train_state  # noqa: F4
 from egm_unet_tpu.engine.train import (  # noqa: F401
     eval_step,
     make_eval_step,
+    make_train_multistep,
     make_train_step,
 )

@@ -47,6 +47,31 @@ def make_train_step(num_classes: int = 2, dice: bool = True, ignore_index: int =
     return train_step
 
 
+def make_train_multistep(num_classes: int = 2, dice: bool = True,
+                         ignore_index: int = 255):
+    """K train steps per dispatch: ``(state, images[K,B,...],
+    targets[K,B,...]) -> (state, aux-of-[K])`` via ``lax.scan``.
+
+    On a tunneled/remote TPU every program launch costs a host round-trip
+    (~0.7 s measured on the axon tunnel — 2.5x the bs-8 compute step), so
+    the single-step loop is latency-bound no matter how batches are
+    prefetched.  Scanning K steps inside one jitted program amortizes the
+    launch to 1/K per step; the scan carries the full train state (params,
+    opt state, BN stats) exactly as the Python loop would.  This replaces
+    the per-step `loss.backward()` launch loop of the reference
+    (ref: train_utils/train_and_eval.py:43-75) with a dispatch shape
+    designed for a remote accelerator."""
+    step = make_train_step(num_classes, dice, ignore_index)
+
+    def multi_step(state, images, targets):
+        def body(st, xt):
+            return step(st, xt[0], xt[1])
+
+        return jax.lax.scan(body, state, (images, targets))
+
+    return multi_step
+
+
 def make_eval_step(num_classes: int = 2, ignore_index: int = 255):
     """Returns step(state, images, targets, confmat, dice) -> (confmat, dice).
 

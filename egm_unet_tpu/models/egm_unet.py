@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from egm_unet_tpu.nn.attention import MCALayer, RecursiveGatedAttention
 from egm_unet_tpu.nn.grfb import GRFB, EdgeEnhancedGRFB
-from egm_unet_tpu.nn.layers import Conv, ConvBNReLU, DoubleConv
+from egm_unet_tpu.nn.layers import Conv, ConvBNReLU, DoubleConv, site_barrier
 from egm_unet_tpu.models.unet import Up
 from egm_unet_tpu.ops.pooling import max_pool2d
 
@@ -55,10 +55,12 @@ class DoubleConv1(nn.Module):
         if self.block == "edge":
             x = EdgeEnhancedGRFB(self.features, stride=1, scale=0.1, visual=12,
                                  dtype=self.dtype, fold_bn=self.fold_bn,
+                                 fine_remat=self.fine_remat,
                                  name="egrfb")(x, train)
         elif self.block == "grfb":
             x = GRFB(self.features, stride=1, scale=0.1, visual=12,
-                     dtype=self.dtype, fold_bn=self.fold_bn, name="grfb")(x, train)
+                     dtype=self.dtype, fold_bn=self.fold_bn,
+                     fine_remat=self.fine_remat, name="grfb")(x, train)
         return x
 
 
@@ -101,12 +103,19 @@ class EGMUNet(nn.Module):
                        dtype=self.dtype, fold_bn=self.fold_bn,
                        mca_impl=self.mca_impl, fine_remat=fine, name=name)
 
+        def pool(v, tag):
+            # $EGM_POOL_BARRIER=pool1,... materializes the pooled map instead
+            # of letting the 2x2 max re-evaluate inside the consumer conv's
+            # window taps (per-site experiment switch, see nn.layers)
+            return site_barrier(self, max_pool2d(v), tag,
+                                env="EGM_POOL_BARRIER")
+
         x1 = DC(c, dtype=self.dtype, fold_bn=self.fold_bn, fine_remat=fine,
                 name="in_conv")(x, train)
-        x2 = down(c * 2, "down1")(max_pool2d(x1), train)
-        x3 = down(c * 4, "down2")(max_pool2d(x2), train)
-        x4 = down(c * 8, "down3")(max_pool2d(x3), train)
-        x5 = down(c * 16 // factor, "down4")(max_pool2d(x4), train)
+        x2 = down(c * 2, "down1")(pool(x1, "pool1"), train)
+        x3 = down(c * 4, "down2")(pool(x2, "pool2"), train)
+        x4 = down(c * 8, "down3")(pool(x3, "pool3"), train)
+        x5 = down(c * 16 // factor, "down4")(pool(x4, "pool4"), train)
 
         if self.use_rga:
             x5 = RecursiveGatedAttention(dim=c * 16 // factor, dtype=self.dtype,

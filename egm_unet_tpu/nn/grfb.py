@@ -98,6 +98,12 @@ class EdgeEnhancedGRFB(nn.Module):
     fusion_factor: float = 4.0
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    # checkpoint each branch (dir/edge/ctx) so the backward pass holds one
+    # branch's conv intermediates at a time instead of all ~12 at once —
+    # at bs 128/480px those are 225 MB each and were the remaining OOM
+    # after per-conv remat elsewhere (PERF.md round 3).  Param paths are
+    # unchanged (lifted fn remat, not a wrapper module).
+    fine_remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -118,25 +124,38 @@ class EdgeEnhancedGRFB(nn.Module):
             # combine, nn/attention.py)
             xe = jax.lax.optimization_barrier(xe)
 
-        d = BC(2 * inter, 1, name="dir0")(xe, train)
-        d = BC(2 * inter, 3, padding=v, dilation=v, relu=False, name="dir1")(d, train)
-        d = BC(2 * inter, 1, name="dir2")(d, train)
+        def dir_branch(mdl, xin, tr):
+            d = BC(2 * inter, 1, name="dir0")(xin, tr)
+            d = BC(2 * inter, 3, padding=v, dilation=v, relu=False,
+                   name="dir1")(d, tr)
+            return BC(2 * inter, 1, name="dir2")(d, tr)
 
-        e = BC(inter, 1, name="edge0")(xe, train)
-        e = EdgeAwareFeatureEnhancer(dtype=self.dtype, fold_bn=self.fold_bn,
-                                     name="edge_eafe")(e, train)
-        e = BC(2 * inter, 3, stride=self.stride, padding=1, groups=inter,
-               name="edge1")(e, train)
-        e = BC(2 * inter, 3, padding=2 * v, dilation=2 * v, relu=False,
-               name="edge2")(e, train)
-        e = BC(2 * inter, 1, name="edge3")(e, train)
+        def edge_branch(mdl, xin, tr):
+            e = BC(inter, 1, name="edge0")(xin, tr)
+            e = EdgeAwareFeatureEnhancer(dtype=mdl.dtype, fold_bn=mdl.fold_bn,
+                                         name="edge_eafe")(e, tr)
+            e = BC(2 * inter, 3, stride=mdl.stride, padding=1, groups=inter,
+                   name="edge1")(e, tr)
+            e = BC(2 * inter, 3, padding=2 * v, dilation=2 * v, relu=False,
+                   name="edge2")(e, tr)
+            return BC(2 * inter, 1, name="edge3")(e, tr)
 
-        c = BC(inter, 3, padding=1, name="ctx0")(xe, train)
-        c = BC(2 * inter, 3, stride=self.stride, padding=1, groups=2,
-               name="ctx1")(c, train)
-        c = BC(2 * inter, 3, padding=3 * v, dilation=3 * v, relu=False,
-               name="ctx2")(c, train)
-        c = BC(2 * inter, 1, name="ctx3")(c, train)
+        def ctx_branch(mdl, xin, tr):
+            c = BC(inter, 3, padding=1, name="ctx0")(xin, tr)
+            c = BC(2 * inter, 3, stride=mdl.stride, padding=1, groups=2,
+                   name="ctx1")(c, tr)
+            c = BC(2 * inter, 3, padding=3 * v, dilation=3 * v, relu=False,
+                   name="ctx2")(c, tr)
+            return BC(2 * inter, 1, name="ctx3")(c, tr)
+
+        if self.fine_remat:
+            dir_branch = nn.remat(dir_branch, static_argnums=(2,))
+            edge_branch = nn.remat(edge_branch, static_argnums=(2,))
+            ctx_branch = nn.remat(ctx_branch, static_argnums=(2,))
+
+        d = dir_branch(self, xe, train)
+        e = edge_branch(self, xe, train)
+        c = ctx_branch(self, xe, train)
 
         concat = jnp.concatenate([x, d, e, c], axis=-1)
         out = FusionConv(self.features, self.fusion_factor, dtype=self.dtype,
@@ -165,6 +184,7 @@ class GRFB(nn.Module):
     visual: int = 12
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    fine_remat: bool = False  # per-branch checkpointing; see EdgeEnhancedGRFB
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -175,25 +195,40 @@ class GRFB(nn.Module):
         s = self.stride
         BC = functools.partial(BasicConv, dtype=self.dtype, fold_bn=self.fold_bn)
 
-        b0 = BC(2 * inter, 1, stride=s, name="b0_0")(x, train)
-        b0 = BC(2 * inter, 3, padding=v, dilation=v, relu=False, name="b0_1")(b0, train)
-        b0 = BC(2 * inter, 1, stride=s, name="b0_2")(b0, train)
+        def branch0(mdl, xin, tr):
+            b0 = BC(2 * inter, 1, stride=s, name="b0_0")(xin, tr)
+            b0 = BC(2 * inter, 3, padding=v, dilation=v, relu=False,
+                    name="b0_1")(b0, tr)
+            return BC(2 * inter, 1, stride=s, name="b0_2")(b0, tr)
 
-        b1 = BC(inter, 1, name="b1_0")(x, train)
-        b1 = BC(2 * inter, 3, stride=s, padding=1, groups=inter, name="b1_1")(b1, train)
-        b1 = BC(2 * inter, 1, stride=s, name="b1_2")(b1, train)
-        b1 = BC(2 * inter, 3, padding=2 * v, dilation=2 * v, relu=False,
-                name="b1_3")(b1, train)
-        b1 = BC(2 * inter, 1, name="b1_4")(b1, train)
+        def branch1(mdl, xin, tr):
+            b1 = BC(inter, 1, name="b1_0")(xin, tr)
+            b1 = BC(2 * inter, 3, stride=s, padding=1, groups=inter,
+                    name="b1_1")(b1, tr)
+            b1 = BC(2 * inter, 1, stride=s, name="b1_2")(b1, tr)
+            b1 = BC(2 * inter, 3, padding=2 * v, dilation=2 * v, relu=False,
+                    name="b1_3")(b1, tr)
+            return BC(2 * inter, 1, name="b1_4")(b1, tr)
 
-        b2 = BC(inter, 1, name="b2_0")(x, train)
-        b2 = BC(2 * inter, 3, padding=1, groups=inter, name="b2_1")(b2, train)
-        b2 = BC(2 * inter, 1, stride=s, name="b2_2")(b2, train)
-        b2 = BC(2 * inter, 3, stride=s, padding=1, groups=2 * inter, name="b2_3")(b2, train)
-        b2 = BC(2 * inter, 1, stride=s, name="b2_4")(b2, train)
-        b2 = BC(2 * inter, 3, padding=3 * v, dilation=3 * v, relu=False,
-                name="b2_5")(b2, train)
-        b2 = BC(2 * inter, 1, stride=s, name="b2_6")(b2, train)
+        def branch2(mdl, xin, tr):
+            b2 = BC(inter, 1, name="b2_0")(xin, tr)
+            b2 = BC(2 * inter, 3, padding=1, groups=inter, name="b2_1")(b2, tr)
+            b2 = BC(2 * inter, 1, stride=s, name="b2_2")(b2, tr)
+            b2 = BC(2 * inter, 3, stride=s, padding=1, groups=2 * inter,
+                    name="b2_3")(b2, tr)
+            b2 = BC(2 * inter, 1, stride=s, name="b2_4")(b2, tr)
+            b2 = BC(2 * inter, 3, padding=3 * v, dilation=3 * v, relu=False,
+                    name="b2_5")(b2, tr)
+            return BC(2 * inter, 1, stride=s, name="b2_6")(b2, tr)
+
+        if self.fine_remat:
+            branch0 = nn.remat(branch0, static_argnums=(2,))
+            branch1 = nn.remat(branch1, static_argnums=(2,))
+            branch2 = nn.remat(branch2, static_argnums=(2,))
+
+        b0 = branch0(self, x, train)
+        b1 = branch1(self, x, train)
+        b2 = branch2(self, x, train)
 
         out = jnp.concatenate([x, b0, b1, b2], axis=-1)
         out = BC(self.features, 1, relu=False, name="conv_linear")(out, train)

@@ -151,6 +151,28 @@ class BasicConv(nn.Module):
         return x
 
 
+def site_barrier(module: nn.Module, x: jax.Array, tag: str,
+                 env: str = "EGM_CBR_BARRIER") -> jax.Array:
+    """Per-site producer-materialization experiment switch.
+
+    ``$EGM_CBR_BARRIER`` is a comma list of substrings matched against this
+    call site's ``<module path>:<tag>`` (e.g. ``down1/conv1:out``), or
+    ``all``.  A match inserts ``lax.optimization_barrier`` so the value is
+    materialized once instead of being re-evaluated inside each window tap
+    of a consumer conv (the round-2 profile showed such fused producers push
+    encoder convs 2-4x off roofline; PERF.md).  Off by default — purely a
+    measurement hook, read at trace time like EGM_MCA_BARRIER."""
+    import os
+
+    spec = os.environ.get(env, "")
+    if not spec:
+        return x
+    path = "/".join(module.scope.path) + ":" + tag
+    if spec == "all" or any(s and s in path for s in spec.split(",")):
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 def pad_to_match(x1: jax.Array, x2: jax.Array) -> jax.Array:
     """Zero-pad x1 spatially to x2's H/W (ref: src/unet.py:40-44 /
     src/EGM-UNet.py:940-945).  Shapes are static under jit."""
@@ -222,7 +244,7 @@ class ConvBNReLU(nn.Module):
         x = conv(x)
         if not self.fold_bn:
             x = BatchNorm(dtype=self.dtype)(x, train)
-        return nn.relu(x)
+        return site_barrier(self, nn.relu(x), "out")
 
 
 class DoubleConv(nn.Module):

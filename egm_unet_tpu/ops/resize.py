@@ -206,12 +206,24 @@ def upsample2x_bilinear_align_corners(x: jax.Array,
                                       impl: str | None = None) -> jax.Array:
     """The UNet decoder's Upsample(scale_factor=2, align_corners=True).
 
-    ``impl``: 'matmul' | 'gather' (default from $EGM_UPSAMPLE_IMPL, else
-    'matmul').  The matmul form does H_in dense MACs per output element vs
-    the gather form's 2 taps; which wins depends on the surrounding layout
-    regime (PERF.md) — keep both measurable."""
+    ``impl``: 'matmul' | 'gather' | 'pallas' (default from
+    $EGM_UPSAMPLE_IMPL, else 'matmul').  The matmul form does H_in dense
+    MACs per output element vs the gather form's 2 taps; 'pallas' streams
+    each item through VMEM once (ops/pallas/resize2x.py), eliminating the
+    layout-change copies XLA schedules around the einsums — which wins
+    depends on the surrounding layout regime (PERF.md); keep all
+    measurable."""
     import os
 
     impl = impl or os.environ.get("EGM_UPSAMPLE_IMPL", "matmul")
+    if impl in ("pallas", "pallas-all"):
+        from egm_unet_tpu.ops.pallas.resize2x import supported, upsample2x_fused
+
+        # 'pallas' = only the single fused kernel (C%128==0 stages); the
+        # C<=128 two-kernel variant costs an extra HBM round-trip and
+        # measured -12% end to end ('pallas-all' keeps it reachable)
+        if supported(x) and (impl == "pallas-all" or x.shape[3] % 128 == 0):
+            return upsample2x_fused(x)
+        impl = "matmul"  # odd 480-class stage sizes fall back
     return resize_bilinear(x, (2 * x.shape[1], 2 * x.shape[2]),
                            align_corners=True, impl=impl)

@@ -41,3 +41,11 @@ def shard_batch(mesh: Mesh, *arrays):
     sh = batch_sharding(mesh)
     out = tuple(jax.device_put(a, sh) for a in arrays)
     return out[0] if len(out) == 1 else out
+
+
+def shard_superbatch(mesh: Mesh, *arrays):
+    """Place (K, B, ...) multi-step stacks with the batch (second) axis on
+    the data mesh axis — the scan axis K stays unsharded on every device."""
+    sh = NamedSharding(mesh, P(None, "data"))
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out[0] if len(out) == 1 else out

@@ -113,3 +113,33 @@ def test_train_cli_arg_contract():
     assert (args.data_path, args.batch_size, args.epochs) == ("/x", 4, 3)
     assert (args.lr, args.momentum, args.weight_decay) == (0.01, 0.8, 1e-5)
     assert args.resume == "ckpt" and args.start_epoch == 2 and args.amp
+
+
+def test_device_prefetcher_and_narrowing():
+    """DevicePrefetcher yields prepared batches in order and re-raises
+    worker errors; narrow_for_transfer halves image bytes (bf16) and
+    ships integer masks as uint8 (round-3 tunnel-H2D fix)."""
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+    import pytest
+
+    from egm_unet_tpu.data.loader import DevicePrefetcher, narrow_for_transfer
+
+    batches = [(np.full((2, 4, 4, 3), i, np.float32),
+                np.full((2, 4, 4), i, np.int64)) for i in range(5)]
+    seen = list(DevicePrefetcher(batches, lambda b: (b[0] + 1, b[1])))
+    assert len(seen) == 5
+    assert all(float(im[0, 0, 0, 0]) == i + 1 for i, (im, _) in enumerate(seen))
+
+    def boom(b):
+        raise RuntimeError("prepare failed")
+
+    with pytest.raises(RuntimeError, match="prepare failed"):
+        list(DevicePrefetcher(batches, boom))
+
+    im, tg = narrow_for_transfer(batches[3][0], batches[3][1], jnp.bfloat16)
+    assert im.dtype == ml_dtypes.bfloat16 and tg.dtype == np.uint8
+    assert float(im[0, 0, 0, 0]) == 3.0 and int(tg[0, 0, 0]) == 3
+    im32, tg32 = narrow_for_transfer(batches[3][0], batches[3][1], jnp.float32)
+    assert im32.dtype == np.float32 and tg32.dtype == np.uint8

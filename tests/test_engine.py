@@ -126,3 +126,41 @@ def test_bf16_train_step():
     imgs, tgts = synthetic_tp_batch(2, 64)
     state, aux = step_fn(state, jnp.asarray(imgs, jnp.bfloat16), jnp.asarray(tgts))
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_multistep_equals_step_loop():
+    """K scanned steps (make_train_multistep) == K sequential single steps:
+    same params, BN stats, opt state, and per-step losses (round-3
+    dispatch-amortization feature for tunneled TPUs)."""
+    from egm_unet_tpu.engine import make_train_multistep
+
+    model = create_model("unet", base_c=8)
+    sched = warmup_poly_schedule(0.01, 4, 2)
+    s1 = create_train_state(model, jax.random.key(0), (1, 32, 32, 3), sched)
+    s2 = jax.tree_util.tree_map(lambda x: x, s1)
+
+    k, b = 3, 2
+    imgs, tgts = synthetic_tp_batch(k * b, size=32, seed=7)
+    imgs = np.asarray(imgs).reshape(k, b, 32, 32, 3)
+    tgts = np.asarray(tgts).reshape(k, b, 32, 32)
+
+    step = jax.jit(make_train_step())
+    losses1 = []
+    for i in range(k):
+        s1, aux = step(s1, jnp.asarray(imgs[i]), jnp.asarray(tgts[i]))
+        losses1.append(float(aux["loss"]))
+
+    multi = jax.jit(make_train_multistep())
+    s2, aux2 = multi(s2, jnp.asarray(imgs), jnp.asarray(tgts))
+
+    np.testing.assert_allclose(np.asarray(aux2["loss"]), losses1,
+                               rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s1.params),
+                     jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                     jax.tree_util.tree_leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    assert int(s1.step) == int(s2.step) == k

@@ -87,3 +87,30 @@ def test_fine_remat_param_tree_identical(setup_fine):
     m0, m2, x, v = setup_fine
     v2 = m2.init(jax.random.key(0), x, train=True)
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+
+def test_fine_remat_grfb_branches():
+    """remat='fine' also checkpoints each GRFB/EGRFB branch (the bs-128
+    decoder-of-the-encoder OOM: ~12 concurrent 225 MB branch temps at
+    480px/128, PERF.md round 3) without touching param paths or grads."""
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 32, 32, 3)),
+                    jnp.float32)
+    for name in ("egm_unet", "grfb_unet"):
+        m0 = create_model(name, base_c=8)
+        m2 = create_model(name, base_c=8, remat="fine")
+        v = m0.init(jax.random.key(0), x, train=True)
+        v2 = m2.init(jax.random.key(0), x, train=True)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(v2)), name
+
+        def grads(m):
+            def f(p):
+                out, _ = m.apply({**v, "params": p}, x, train=True,
+                                 mutable=["batch_stats"])
+                return jnp.sum(out["out"] ** 2)
+            return jax.grad(f)(v["params"])
+
+        for a, b in zip(jax.tree_util.tree_leaves(grads(m0)),
+                        jax.tree_util.tree_leaves(grads(m2))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3, rtol=1e-3)

@@ -21,12 +21,13 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 mkdir -p "$OUT"
 
 echo "[train_proof] run 1: reference recipe bs8 480px ${EPOCHS}ep"
-timeout 14000 python -c "
+timeout 15000 python -c "
 from egm_unet_tpu.cli.train import main
 main(['--synthetic', '--synthetic-n', '876', '--synthetic-val-n', '52',
       '--synthetic-size', '480', '--eval-size', '565', '--val-batch-size', '4',
       '--model', 'egm_unet', '--base-c', '32', '--batch-size', '8',
       '--epochs', '$EPOCHS', '--lr', '0.02', '--amp',
+      '--steps-per-dispatch', '10',
       '--print-freq', '50',
       '--save-dir', '$OUT/bs8_ckpt',
       '--results-file', '$OUT/bs8_results.txt'])
@@ -34,12 +35,13 @@ main(['--synthetic', '--synthetic-n', '876', '--synthetic-val-n', '52',
 echo "[train_proof] run 1 rc=$?"
 
 echo "[train_proof] run 2: large-batch bs64+remat lr0.16 ${EPOCHS}ep"
-timeout 14000 python -c "
+timeout 15000 python -c "
 from egm_unet_tpu.cli.train import main
 main(['--synthetic', '--synthetic-n', '876', '--synthetic-val-n', '52',
       '--synthetic-size', '480', '--eval-size', '565', '--val-batch-size', '4',
       '--model', 'egm_unet', '--base-c', '32', '--batch-size', '64',
       '--epochs', '$EPOCHS', '--lr', '0.16', '--amp', '--remat',
+      '--steps-per-dispatch', '10',
       '--print-freq', '10',
       '--save-dir', '$OUT/bs64_ckpt',
       '--results-file', '$OUT/bs64_results.txt'])
