@@ -53,6 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--save-dir", default="save_weights")
     p.add_argument("--results-file", default=None)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--wire-uint8", action="store_true",
+                   help="ship raw uint8 crops and normalize on device "
+                        "(4x less H2D traffic; for ragged eval batches the "
+                        "zero pad is then in pixel space, not normalized "
+                        "space — same-shape batches are bit-identical)")
     p.add_argument("--steps-per-dispatch", default=1, type=int,
                    help="scan K train steps inside one jitted program "
                         "(engine.make_train_multistep) — amortizes the "
@@ -121,18 +126,23 @@ def main(argv=None):
                                  max_size=int(1.2 * src_h))
     else:
         train_tf = TrainTransform(crop_size=(args.synthetic_size if args.synthetic else 480),
-                                  seed=args.seed)
+                                  seed=args.seed,
+                                  wire_uint8=args.wire_uint8)
         device_augment = None
 
     if args.synthetic:
         train_ds = SyntheticTPDataset(n=args.synthetic_n or args.batch_size * 4,
                                       transforms=train_tf, cache=True)
         val_ds = SyntheticTPDataset(n=args.synthetic_val_n,
-                                    transforms=EvalTransform(args.eval_size),
+                                    transforms=EvalTransform(args.eval_size,
+                                                             wire_uint8=args.wire_uint8),
                                     cache=True)
     else:
         train_ds = DriveDataset(args.data_path, train_tf, "train.txt")
-        val_ds = DriveDataset(args.data_path, EvalTransform(args.eval_size), "val.txt")
+        val_ds = DriveDataset(args.data_path,
+                              EvalTransform(args.eval_size,
+                                            wire_uint8=args.wire_uint8),
+                              "val.txt")
 
     train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
     val_loader = BatchLoader(val_ds, args.val_batch_size, shuffle=False,
@@ -168,13 +178,23 @@ def main(argv=None):
     if k_steps > 1 and device_augment is not None:
         raise SystemExit("--steps-per-dispatch requires host-side "
                          "transforms (drop --device-aug)")
+    norm = None
+    if args.wire_uint8:
+        from egm_unet_tpu.data.transforms import TP_MEAN, TP_STD
+
+        norm = (TP_MEAN, TP_STD)
     if k_steps > 1:
-        train_step = jax.jit(make_train_multistep(num_classes=num_classes),
+        train_step = jax.jit(make_train_multistep(num_classes=num_classes,
+                                                  normalize=norm,
+                                                  input_dtype=dtype),
                              donate_argnums=(0,))
     else:
-        train_step = jax.jit(make_train_step(num_classes=num_classes),
+        train_step = jax.jit(make_train_step(num_classes=num_classes,
+                                             normalize=norm,
+                                             input_dtype=dtype),
                              donate_argnums=(0,))
-    eval_step = jax.jit(make_eval_step(num_classes=num_classes))
+    eval_step = jax.jit(make_eval_step(num_classes=num_classes,
+                                       normalize=norm, input_dtype=dtype))
     results = ResultsWriter(args.results_file)
 
     import contextlib

@@ -60,7 +60,11 @@ def collate_pad(images, targets, pad_multiple: int = 32,
 
     mh = rup(max(im.shape[0] for im in images))
     mw = rup(max(im.shape[1] for im in images))
-    batch_img = np.full((len(images), mh, mw, images[0].shape[2]), img_fill, np.float32)
+    # uint8 sources (wire_uint8 path) stay uint8 so the H2D copy ships
+    # 1 byte/px; float sources keep the reference's f32
+    img_dtype = np.uint8 if images[0].dtype == np.uint8 else np.float32
+    batch_img = np.full((len(images), mh, mw, images[0].shape[2]), img_fill,
+                        img_dtype)
     batch_tgt = np.full((len(images), mh, mw), target_fill, np.int32)
     for i, (im, tg) in enumerate(zip(images, targets)):
         batch_img[i, : im.shape[0], : im.shape[1]] = im

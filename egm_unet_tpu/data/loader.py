@@ -122,7 +122,9 @@ def narrow_for_transfer(images: np.ndarray, targets: np.ndarray,
     import jax.numpy as jnp
     import ml_dtypes
 
-    if dtype == jnp.bfloat16:
+    if images.dtype == np.uint8:
+        pass  # raw wire_uint8 crops: normalized on device, 1 byte/px
+    elif dtype == jnp.bfloat16:
         images = np.asarray(images, ml_dtypes.bfloat16)
     else:
         images = np.asarray(images, np.float32)

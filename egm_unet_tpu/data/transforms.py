@@ -108,7 +108,8 @@ class TrainTransform:
     """ref presets: train.py:14-32."""
 
     def __init__(self, base_size=565, crop_size=480, hflip_prob=0.5,
-                 vflip_prob=0.5, mean=TP_MEAN, std=TP_STD, seed=0):
+                 vflip_prob=0.5, mean=TP_MEAN, std=TP_STD, seed=0,
+                 wire_uint8=False):
         self.min_size = int(0.5 * base_size)
         self.max_size = int(1.2 * base_size)
         self.crop_size = crop_size
@@ -116,6 +117,9 @@ class TrainTransform:
         self.vflip_prob = vflip_prob
         self.mean, self.std = mean, std
         self.rng = np.random.default_rng(seed)
+        # emit raw uint8 crops and let the train step normalize on device
+        # (engine._device_normalize) — 1 byte/px over the tunnel instead of 4
+        self.wire_uint8 = wire_uint8
 
     def __call__(self, image: np.ndarray, target: np.ndarray):
         size = int(self.rng.integers(self.min_size, self.max_size + 1))
@@ -125,17 +129,22 @@ class TrainTransform:
         if self.rng.random() < self.vflip_prob:
             image, target = vflip(image, target)
         image, target = random_crop(image, target, self.crop_size, self.rng)
+        if self.wire_uint8:
+            return image, target.astype(np.int32)
         return normalize(image, self.mean, self.std), target.astype(np.int32)
 
 
 class EvalTransform:
     """ref presets: train.py:35-44 (Resize short side 565)."""
 
-    def __init__(self, base_size=565, mean=TP_MEAN, std=TP_STD):
+    def __init__(self, base_size=565, mean=TP_MEAN, std=TP_STD,
+                 wire_uint8=False):
         self.base_size = base_size
         self.mean, self.std = mean, std
+        self.wire_uint8 = wire_uint8  # see TrainTransform
 
     def __call__(self, image: np.ndarray, target: np.ndarray | None):
         image, target = resize_short_side(image, target, self.base_size)
-        image = normalize(image, self.mean, self.std)
+        if not self.wire_uint8:
+            image = normalize(image, self.mean, self.std)
         return image, None if target is None else target.astype(np.int32)

@@ -23,11 +23,30 @@ from egm_unet_tpu import losses as L
 from egm_unet_tpu import metrics as M
 
 
-def make_train_step(num_classes: int = 2, dice: bool = True, ignore_index: int = 255):
-    """Returns step(state, images, targets) -> (state, aux dict)."""
+def _device_normalize(images, normalize, input_dtype):
+    """uint8-wire path: (x/255 - mean)/std in f32 on device — bit-identical
+    to the host ``transforms.normalize`` it replaces, but the tunnel ships
+    1 byte/px instead of 2-4 (the H2D copy is the train-loop bottleneck on
+    a remote TPU; PERF.md round 3)."""
+    mean, std = normalize
+    x = images.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(mean)) / jnp.asarray(std)
+    return x.astype(input_dtype) if input_dtype is not None else x
+
+
+def make_train_step(num_classes: int = 2, dice: bool = True,
+                    ignore_index: int = 255, normalize=None,
+                    input_dtype=None):
+    """Returns step(state, images, targets) -> (state, aux dict).
+
+    ``normalize=(mean, std)``: images arrive as raw uint8 and are
+    normalized on device (see _device_normalize)."""
     loss_weight = L.default_loss_weight(num_classes)
 
     def train_step(state, images, targets):
+        if normalize is not None:
+            images = _device_normalize(images, normalize, input_dtype)
+
         def loss_fn(params):
             outputs, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -48,7 +67,8 @@ def make_train_step(num_classes: int = 2, dice: bool = True, ignore_index: int =
 
 
 def make_train_multistep(num_classes: int = 2, dice: bool = True,
-                         ignore_index: int = 255):
+                         ignore_index: int = 255, normalize=None,
+                         input_dtype=None):
     """K train steps per dispatch: ``(state, images[K,B,...],
     targets[K,B,...]) -> (state, aux-of-[K])`` via ``lax.scan``.
 
@@ -61,7 +81,8 @@ def make_train_multistep(num_classes: int = 2, dice: bool = True,
     the per-step `loss.backward()` launch loop of the reference
     (ref: train_utils/train_and_eval.py:43-75) with a dispatch shape
     designed for a remote accelerator."""
-    step = make_train_step(num_classes, dice, ignore_index)
+    step = make_train_step(num_classes, dice, ignore_index, normalize,
+                           input_dtype)
 
     def multi_step(state, images, targets):
         def body(st, xt):
@@ -72,13 +93,17 @@ def make_train_multistep(num_classes: int = 2, dice: bool = True,
     return multi_step
 
 
-def make_eval_step(num_classes: int = 2, ignore_index: int = 255):
+def make_eval_step(num_classes: int = 2, ignore_index: int = 255,
+                   normalize=None, input_dtype=None):
     """Returns step(state, images, targets, confmat, dice) -> (confmat, dice).
 
     Metric accumulation happens on device (ref: train_and_eval.py:22-40).
+    ``normalize``: see make_train_step.
     """
 
     def eval_step(state, images, targets, confmat, dice_state):
+        if normalize is not None:
+            images = _device_normalize(images, normalize, input_dtype)
         outputs = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             images,

@@ -164,3 +164,34 @@ def test_multistep_equals_step_loop():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-5, atol=1e-6)
     assert int(s1.step) == int(s2.step) == k
+
+
+def test_wire_uint8_normalize_on_device_equivalent():
+    """make_train_step(normalize=(mean,std)) on raw uint8 crops follows the
+    exact same trajectory as host-normalized f32 input (the /255, -mean,
+    /std run in f32 either way — round-3 H2D-bandwidth feature)."""
+    from egm_unet_tpu.data.transforms import TP_MEAN, TP_STD, normalize
+    from egm_unet_tpu.engine import make_train_multistep
+
+    model = create_model("unet", base_c=8)
+    sched = warmup_poly_schedule(0.01, 2, 1)
+    s1 = create_train_state(model, jax.random.key(0), (1, 32, 32, 3), sched)
+    s2 = jax.tree_util.tree_map(lambda x: x, s1)
+
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, (2, 2, 32, 32, 3)).astype(np.uint8)
+    tgts = rng.integers(0, 2, (2, 2, 32, 32)).astype(np.int32)
+    host_norm = normalize(raw, TP_MEAN, TP_STD).astype(np.float32)
+
+    s1, a1 = jax.jit(make_train_multistep())(s1, jnp.asarray(host_norm),
+                                             jnp.asarray(tgts))
+    s2, a2 = jax.jit(make_train_multistep(
+        normalize=(TP_MEAN, TP_STD), input_dtype=jnp.float32))(
+        s2, jnp.asarray(raw), jnp.asarray(tgts))
+
+    np.testing.assert_allclose(np.asarray(a2["loss"]), np.asarray(a1["loss"]),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

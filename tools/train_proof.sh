@@ -27,7 +27,7 @@ main(['--synthetic', '--synthetic-n', '876', '--synthetic-val-n', '52',
       '--synthetic-size', '480', '--eval-size', '565', '--val-batch-size', '4',
       '--model', 'egm_unet', '--base-c', '32', '--batch-size', '8',
       '--epochs', '$EPOCHS', '--lr', '0.02', '--amp',
-      '--steps-per-dispatch', '10',
+      '--steps-per-dispatch', '10', '--wire-uint8',
       '--print-freq', '50',
       '--save-dir', '$OUT/bs8_ckpt',
       '--results-file', '$OUT/bs8_results.txt'])
@@ -41,7 +41,7 @@ main(['--synthetic', '--synthetic-n', '876', '--synthetic-val-n', '52',
       '--synthetic-size', '480', '--eval-size', '565', '--val-batch-size', '4',
       '--model', 'egm_unet', '--base-c', '32', '--batch-size', '64',
       '--epochs', '$EPOCHS', '--lr', '0.16', '--amp', '--remat',
-      '--steps-per-dispatch', '10',
+      '--steps-per-dispatch', '10', '--wire-uint8',
       '--print-freq', '10',
       '--save-dir', '$OUT/bs64_ckpt',
       '--results-file', '$OUT/bs64_results.txt'])
