@@ -398,6 +398,20 @@ def verify_kernels(args):
     print(f"# verify[{backend}] up_concat_conv: max|d|={d:.2e} "
           f"{'ok' if d < 1e-2 else 'FAIL'}", flush=True)
 
+    from egm_unet_tpu.ops.conv import conv2d
+    from egm_unet_tpu.ops.pallas.conv3x3 import conv3x3_gemm
+
+    for shape, co in (((2, 16, 16, 64), 64), ((2, 8, 8, 128), 128)):
+        xc = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        wc = jnp.asarray(rng.standard_normal((3, 3, shape[-1], co)) * 0.1,
+                         jnp.float32)
+        bc = jnp.asarray(rng.standard_normal((co,)) * 0.1, jnp.float32)
+        ref = jax.nn.relu(conv2d(xc, wc, padding=1) + bc)
+        d = float(jnp.max(jnp.abs(conv3x3_gemm(xc, wc, bc, relu=True) - ref)))
+        results[f"conv3x3_c{shape[-1]}"] = d
+        print(f"# verify[{backend}] conv3x3_gemm {shape}->{co}: max|d|={d:.2e} "
+              f"{'ok' if d < 1e-2 else 'FAIL'}", flush=True)
+
     from egm_unet_tpu.ops.pallas.resize2x import upsample2x_fused
 
     for shape in ((2, 32, 32, 256), (1, 256, 256, 32)):

@@ -141,14 +141,55 @@ class BasicConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         folded = self.bn and self.fold_bn
-        x = Conv(self.features, self.kernel_size, self.stride, self.padding,
-                 self.dilation, self.groups, self.use_bias or folded,
-                 self.dtype)(x)
+        conv = Conv(self.features, self.kernel_size, self.stride,
+                    self.padding, self.dilation, self.groups,
+                    self.use_bias or folded, self.dtype)
+        k = self.kernel_size if isinstance(self.kernel_size, (tuple, list)) \
+            else (self.kernel_size, self.kernel_size)
+        p = self.padding if isinstance(self.padding, (tuple, list)) else (
+            self.padding, self.padding)
+        if (folded and not train and tuple(k) == (3, 3) and self.stride == 1
+                and tuple(p) == (1, 1) and self.dilation == 1
+                and self.groups == 1):
+            y = maybe_conv3x3_gemm(conv, x, self.features, relu=self.relu)
+            if y is not None:
+                return y
+        x = conv(x)
         if self.bn and not folded:
             x = BatchNorm(torch_momentum=0.01, dtype=self.dtype)(x, train)
         if self.relu:
             x = nn.relu(x)
         return x
+
+
+def maybe_conv3x3_gemm(conv: "Conv", x: jax.Array, features: int,
+                       relu: bool):
+    """Route a folded-inference 3x3/stride-1/pad-1 conv (+bias, optional
+    fused ReLU) through the implicit-GEMM Pallas kernel
+    (ops/pallas/conv3x3.py) when ``$EGM_CONV_IMPL=pallas`` and the kernel's
+    row-block/channel constraints hold.  Returns None to fall back to XLA.
+
+    Trace-time env switch like EGM_UP_IMPL — a measurement hook first
+    (tools/conv_bench.py / PERF.md), a default only if it wins end to end.
+    The conv params come from the same submodule (dummy call materializes
+    them; XLA removes the dead op), so checkpoints are impl-agnostic.
+    """
+    import os
+
+    from egm_unet_tpu.ops.quant import current_quant_mode
+
+    if (os.environ.get("EGM_CONV_IMPL", "xla") != "pallas"
+            or current_quant_mode() is not None or x.ndim != 4):
+        return None
+    from egm_unet_tpu.ops.pallas.conv3x3 import (conv3x3_gemm,
+                                                 conv3x3_gemm_supported)
+
+    if not conv3x3_gemm_supported(x.shape, features, x.dtype):
+        return None
+    _ = conv(jnp.zeros((1, 5, 5, x.shape[-1]), x.dtype))
+    params = conv.variables["params"]["Conv_0"]
+    return conv3x3_gemm(x, params["kernel"].astype(x.dtype), params["bias"],
+                        relu=relu)
 
 
 def site_barrier(module: nn.Module, x: jax.Array, tag: str,
@@ -241,6 +282,10 @@ class ConvBNReLU(nn.Module):
                 x1 = jax.lax.optimization_barrier(x1)
             x1 = pad_to_match(x1, x2)
             x = jnp.concatenate([x2, x1], axis=-1)
+        if self.fold_bn and not train:
+            y = maybe_conv3x3_gemm(conv, x, self.features, relu=True)
+            if y is not None:
+                return site_barrier(self, y, "out")
         x = conv(x)
         if not self.fold_bn:
             x = BatchNorm(dtype=self.dtype)(x, train)

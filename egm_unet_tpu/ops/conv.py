@@ -58,6 +58,32 @@ def conv2d(
     )
 
 
+def conv3x3_dots(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
+                 *, relu: bool = False) -> jax.Array:
+    """3x3/stride-1/pad-1 conv written as nine shifted dot_generals.
+
+    A microbench alternative to the conv primitive (tools/conv_bench.py):
+    routes the contraction through XLA's dot emitter instead of the conv
+    emitter to see which pipeline the TPU backend schedules better at the
+    EGM encoder shapes.  Accumulates in f32 like the MXU conv path.
+    """
+    bsz, h, wd, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            a = lax.slice(xp, (0, dy, dx, 0), (bsz, dy + h, dx + wd, xp.shape[-1]))
+            y = lax.dot_general(a, w[dy, dx].astype(x.dtype),
+                                (((3,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    if b is not None:
+        acc = acc + b.astype(jnp.float32)
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    return acc.astype(x.dtype)
+
+
 def depthwise_conv2d(
     x: jax.Array,
     w: jax.Array,
