@@ -197,6 +197,81 @@ def bench_clipseg(args):
     }))
 
 
+def bench_text(args):
+    """Long-CLIP text-encoder throughput: 248-token prompts through the full
+    encode_text stack (dual positional embeddings, 12 causal blocks, EOT
+    pooling @ text_projection — ref: clip/model.py:487-501).  This is the
+    conditioning path of every CLIPSeg/fusion query (ref:
+    models/clipseg.py:308-332), reported as prompts/s."""
+    from egm_unet_tpu.models.clip.model import CLIP, VIT_B16
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = CLIP(cfg=VIT_B16, dtype=dtype)
+    rng = np.random.default_rng(0)
+    ctx = VIT_B16.context_length
+
+    def make_tokens(bs):
+        # BPE ids with EOT (highest id) at a random position, like tokenize()
+        toks = rng.integers(1, 40000, (bs, ctx))
+        eot_pos = rng.integers(8, ctx - 1, bs)
+        toks[np.arange(bs), eot_pos] = 49407
+        return jnp.asarray(toks, jnp.int32)
+
+    variables = model.init(jax.random.key(0), make_tokens(1),
+                           method="encode_text")
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables)
+
+    best, best_bs, best_ms = 0.0, 0, 0.0
+    for bs in [int(b) for b in args.batches.split(",")]:
+        tokens = make_tokens(bs)
+
+        def chain(n_iters):
+            @jax.jit
+            def run(v, t0):
+                def step(carry, _):
+                    out = model.apply(v, carry, method="encode_text")
+                    # serial dependency without changing the tokens: the
+                    # rounded 1e-20-scaled sum is 0 at runtime but
+                    # data-dependent at compile time
+                    bump = jnp.round(jnp.sum(out.astype(jnp.float32))
+                                     * 1e-20).astype(jnp.int32)
+                    return carry + bump, ()
+
+                final, _ = lax.scan(step, t0, None, length=n_iters)
+                return jnp.sum(final.astype(jnp.float32))
+
+            return run
+
+        try:
+            run1, run2 = chain(args.n1), chain(args.n2)
+            float(run1(variables, tokens))
+            float(run2(variables, tokens))
+            t1 = time_fetch(run1, variables, tokens, repeats=args.repeats)
+            t2 = time_fetch(run2, variables, tokens, repeats=args.repeats)
+        except Exception as e:
+            print(f"# text batch {bs} failed: {type(e).__name__}: {e}",
+                  flush=True)
+            continue
+        per_iter = max((t2 - t1) / (args.n2 - args.n1), 1e-9)
+        pps = bs / per_iter
+        print(f"# text batch {bs}: {pps:.1f} prompts/s "
+              f"({per_iter * 1e3:.2f} ms/iter)", flush=True)
+        if pps > best:
+            best, best_bs, best_ms = pps, bs, per_iter * 1e3
+
+    print(json.dumps({
+        "metric": "longclip_text_encode_248ctx_throughput",
+        "value": round(best, 1),
+        "unit": "prompts/s/chip",
+        "vs_baseline": 0.0,
+        "batch": best_bs,
+        "ms_per_iter": round(best_ms, 3),
+        "dtype": args.dtype,
+        "device": str(jax.devices()[0]),
+    }), flush=True)
+
+
 def _build_inference(args, dtype):
     from egm_unet_tpu.models import create_model
     from egm_unet_tpu.models.fold_bn import fold_bn_variables
@@ -442,7 +517,7 @@ def main():
                    help="disable inference BN folding (measure the raw graph)")
     p.add_argument("--mode", default="all",
                    choices=["all", "inference", "train", "clipseg", "int8",
-                            "fusion"],
+                            "fusion", "text"],
                    help="all (default): clipseg + int8 + bf16 EGM headline "
                         "(headline JSON printed LAST); train: full train-step "
                         "throughput (CE+dice+edge losses, SGD update, sync-BN) "
@@ -473,6 +548,8 @@ def main():
         return bench_inference(args, quant="int8", batches="128")
     if args.mode == "fusion":
         return bench_fusion(args)
+    if args.mode == "text":
+        return bench_text(args)
     if args.mode == "inference":
         return bench_inference(args)
 
@@ -484,6 +561,12 @@ def main():
     cargs = copy.copy(args)
     cargs.size, cargs.attn_impls, cargs.n2 = 352, "pallas", 8
     cargs.batches = "16,64"
+    try:
+        targs = copy.copy(args)
+        targs.batches = "64,256"
+        bench_text(targs)
+    except Exception as e:
+        print(f"# text bench failed: {type(e).__name__}: {e}", flush=True)
     try:
         bench_clipseg(cargs)
     except Exception as e:
