@@ -171,8 +171,12 @@ def maybe_conv3x3_gemm(conv: "Conv", x: jax.Array, features: int,
 
     Trace-time env switch like EGM_UP_IMPL — a measurement hook first
     (tools/conv_bench.py / PERF.md), a default only if it wins end to end.
-    The conv params come from the same submodule (dummy call materializes
-    them; XLA removes the dead op), so checkpoints are impl-agnostic.
+    ``$EGM_CONV_SITES`` (comma list of substrings matched against the
+    module path, e.g. ``down1/conv2,down2``) further restricts the routing
+    to individual call sites so each profiled offender can be measured
+    alone.  The conv params come from the same submodule (dummy call
+    materializes them; XLA removes the dead op), so checkpoints are
+    impl-agnostic.
     """
     import os
 
@@ -180,6 +184,10 @@ def maybe_conv3x3_gemm(conv: "Conv", x: jax.Array, features: int,
 
     if (os.environ.get("EGM_CONV_IMPL", "xla") != "pallas"
             or current_quant_mode() is not None or x.ndim != 4):
+        return None
+    sites = os.environ.get("EGM_CONV_SITES", "")
+    if sites and not any(
+            s and s in "/".join(conv.scope.path) for s in sites.split(",")):
         return None
     from egm_unet_tpu.ops.pallas.conv3x3 import (conv3x3_gemm,
                                                  conv3x3_gemm_supported)

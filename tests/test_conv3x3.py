@@ -96,6 +96,28 @@ def test_egm_conv_impl_env_route(monkeypatch):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_egm_conv_sites_filter(monkeypatch):
+    """$EGM_CONV_SITES restricts the pallas routing to matching call sites."""
+    import egm_unet_tpu.ops.pallas.conv3x3 as k
+    from egm_unet_tpu.nn.layers import ConvBNReLU
+
+    hits = []
+    real = k.conv3x3_gemm
+    monkeypatch.setattr(k, "conv3x3_gemm",
+                        lambda *a, **kw: hits.append(1) or real(*a, **kw))
+    x = jnp.zeros((1, 8, 8, 64), jnp.float32)
+    m = ConvBNReLU(64, fold_bn=True)
+    v = m.init(jax.random.key(0), x, False)
+
+    monkeypatch.setenv("EGM_CONV_IMPL", "pallas")
+    monkeypatch.setenv("EGM_CONV_SITES", "down1/conv2")  # no match: top level
+    m.apply(v, x, False)
+    assert not hits
+    monkeypatch.setenv("EGM_CONV_SITES", "")  # empty = all sites
+    m.apply(v, x, False)
+    assert hits
+
+
 @pytest.mark.parametrize("relu", [False, True])
 def test_conv3x3_dots_parity(relu):
     rng = np.random.default_rng(3)
