@@ -307,6 +307,26 @@ def bench_inference(args, quant=None, batches=None, emit_json=True):
     model, variables = _build_inference(args, dtype)
     qctx = (lambda: quantized(quant)) if quant else contextlib.nullcontext
 
+    mesh = None
+    if getattr(args, "mesh", 0) and args.mesh > 1:
+        # data-parallel serving over an ICI mesh: batch sharded across dp,
+        # params replicated — GSPMD partitions the whole chained program so
+        # the same two-point methodology measures aggregate throughput.
+        # (Single-chip here; validated on the virtual CPU mesh, ready for
+        # pods.  Replaces the reference's never-called NCCL serving hooks,
+        # train_utils/distributed_utils.py:315-338.)
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        devs = jax.devices()
+        if len(devs) < args.mesh:
+            print(f"# mesh {args.mesh} unavailable ({len(devs)} devices); "
+                  f"running unsharded", flush=True)
+        else:
+            mesh = Mesh(np.array(devs[:args.mesh]), ("dp",))
+            variables = jax.device_put(
+                variables, NamedSharding(mesh, PartitionSpec()))
+            print(f"# dp mesh: {args.mesh} x {devs[0].platform}", flush=True)
+
     if quant == "int8":
         # static activation scales: one calibration forward (full precision,
         # abs-max sow per conv) so the serving graph quantizes with jit
@@ -326,6 +346,14 @@ def bench_inference(args, quant=None, batches=None, emit_json=True):
     for bs in [int(b) for b in (batches or args.batches).split(",")]:
         x = jnp.asarray(np.random.default_rng(0).standard_normal(
             (bs, args.size, args.size, 3), dtype=np.float32), dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if bs % mesh.size:
+                print(f"# batch {bs} not divisible by mesh {mesh.size}; "
+                      f"skipped", flush=True)
+                continue
+            x = jax.device_put(x, NamedSharding(mesh, PartitionSpec("dp")))
         try:
             with qctx():
                 run1 = chained_forward(model, variables, x, args.n1)
@@ -356,6 +384,9 @@ def bench_inference(args, quant=None, batches=None, emit_json=True):
         "dtype": f"{args.dtype}+{quant}" if quant else args.dtype,
         "device": str(jax.devices()[0]),
     }
+    if mesh is not None:
+        record["mesh"] = mesh.size
+        record["unit"] = "images/s/mesh"
     if quant and not args.no_agreement:
         # off-parity check: pixel agreement of argmax masks vs the bf16 path
         xa = jnp.asarray(np.random.default_rng(1).standard_normal(
@@ -513,6 +544,9 @@ def main():
     p.add_argument("--n2", type=int, default=12)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="inference: shard the batch data-parallel over the "
+                        "first N devices (pod serving; 0/1 = single chip)")
     p.add_argument("--no-fold-bn", action="store_true",
                    help="disable inference BN folding (measure the raw graph)")
     p.add_argument("--mode", default="all",
