@@ -41,6 +41,37 @@ def parse_results(path: str):
     return [e for e in epochs if "dice" in e]
 
 
+def plot_curves(path: str, rows):
+    """<input>.png: train-loss (log) + val dice/mIoU per epoch — the
+    decreasing-loss/rising-dice artifact for the on-chip training proof."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ep = [r["epoch"] for r in rows]
+    fig, ax1 = plt.subplots(figsize=(7, 4))
+    ax1.plot(ep, [r.get("loss") for r in rows], color="#444444", lw=1.5,
+             label="train loss")
+    ax1.set_yscale("log")
+    ax1.set_xlabel("epoch")
+    ax1.set_ylabel("train loss (log)")
+    ax2 = ax1.twinx()
+    ax2.plot(ep, [r["dice"] for r in rows], color="#1f77b4", lw=1.5,
+             label="val dice")
+    ax2.plot(ep, [r.get("mean_iou", float("nan")) / 100 for r in rows],
+             color="#2ca02c", lw=1.0, ls="--", label="val mIoU/100")
+    ax2.set_ylabel("val dice / mIoU")
+    lines = ax1.get_lines() + ax2.get_lines()
+    ax1.legend(lines, [ln.get_label() for ln in lines], loc="center right",
+               fontsize=8)
+    ax1.set_title(path.rsplit("/", 1)[-1])
+    fig.tight_layout()
+    fig.savefig(path + ".png", dpi=110)
+    plt.close(fig)
+    print(f"wrote {path}.png")
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     runs = {}
@@ -54,6 +85,10 @@ def main(argv=None):
                 f.write(f"{r['epoch']},{r.get('loss', '')},{r.get('lr', '')},"
                         f"{r.get('mean_iou', '')},{r['dice']}\n")
         print(f"wrote {out} ({len(rows)} epochs)")
+        try:
+            plot_curves(path, rows)
+        except Exception as e:  # matplotlib optional
+            print(f"plot skipped: {type(e).__name__}: {e}")
 
     print("\n| run | epochs | first dice | ep10 | ep50 | last | best | "
           "final loss |")
