@@ -518,6 +518,22 @@ def verify_kernels(args):
         print(f"# verify[{backend}] conv3x3_gemm {shape}->{co}: max|d|={d:.2e} "
               f"{'ok' if d < 1e-2 else 'FAIL'}", flush=True)
 
+    from egm_unet_tpu.ops.pallas.conv3x3 import conv3x3_pair_gemm
+
+    for shape, cm, co in (((2, 16, 16, 32), 64, 64), ((2, 8, 8, 64), 128, 128)):
+        xc = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((3, 3, shape[-1], cm)) * 0.1,
+                         jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((cm,)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((3, 3, cm, co)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal((co,)) * 0.1, jnp.float32)
+        ref = jax.nn.relu(conv2d(jax.nn.relu(conv2d(xc, w1, padding=1) + b1),
+                                 w2, padding=1) + b2)
+        d = float(jnp.max(jnp.abs(conv3x3_pair_gemm(xc, w1, b1, w2, b2) - ref)))
+        results[f"conv3x3_pair_c{shape[-1]}"] = d
+        print(f"# verify[{backend}] conv3x3_pair {shape}->{cm}->{co}: "
+              f"max|d|={d:.2e} {'ok' if d < 1e-2 else 'FAIL'}", flush=True)
+
     from egm_unet_tpu.ops.pallas.resize2x import upsample2x_fused
 
     for shape in ((2, 32, 32, 256), (1, 256, 256, 32)):

@@ -182,7 +182,7 @@ def maybe_conv3x3_gemm(conv: "Conv", x: jax.Array, features: int,
 
     from egm_unet_tpu.ops.quant import current_quant_mode
 
-    if (os.environ.get("EGM_CONV_IMPL", "xla") != "pallas"
+    if (os.environ.get("EGM_CONV_IMPL", "xla") not in ("pallas", "pallas-both")
             or current_quant_mode() is not None or x.ndim != 4):
         return None
     sites = os.environ.get("EGM_CONV_SITES", "")
@@ -327,6 +327,52 @@ class DoubleConv(nn.Module):
                    up_impl=self.up_impl, name="ConvBNReLU_0")
         cbr2 = CBR(self.features, self.dtype, fold_bn=self.fold_bn,
                    name="ConvBNReLU_1")
+
+        if (self.fold_bn and not train
+                and os.environ.get("EGM_CONV_IMPL", "xla") in (
+                    "pallas-pair", "pallas-both")):
+            sites = os.environ.get("EGM_CONV_SITES", "")
+            from egm_unet_tpu.ops.pallas.conv3x3 import (
+                conv3x3_pair_gemm, conv3x3_pair_supported)
+            from egm_unet_tpu.ops.quant import current_quant_mode
+
+            site_ok = (not sites or any(
+                s and s in "/".join(self.scope.path)
+                for s in sites.split(",")))
+            if site_ok and current_quant_mode() is None:
+                xc = x
+                if (up_pair is not None
+                        and up_pair[0].shape[1] == 2 * up_pair[1].shape[1]
+                        and up_pair[0].shape[2] == 2 * up_pair[1].shape[2]):
+                    # decoder stage: the upsample+concat stay on the XLA
+                    # side (exact interpolation-matrix resize); the two
+                    # convs consuming the concat fuse into one kernel.
+                    x2, x1 = up_pair
+                    cat_shape = x2.shape[:-1] + (x2.shape[-1] + x1.shape[-1],)
+                    if conv3x3_pair_supported(cat_shape, mid, self.features,
+                                              x1.dtype):
+                        from egm_unet_tpu.ops.resize import (
+                            upsample2x_bilinear_align_corners)
+
+                        xu = upsample2x_bilinear_align_corners(x1)
+                        xc = jnp.concatenate([x2, xu], axis=-1)
+                if (xc is not None and xc.ndim == 4
+                        and conv3x3_pair_supported(xc.shape, mid,
+                                                   self.features, xc.dtype)):
+                    # fused DoubleConv: both folded convs in one Pallas
+                    # program, the conv1 output never touching HBM
+                    # (ops/pallas/conv3x3.py conv3x3_pair_gemm).  Params
+                    # come from the same submodules (dummy calls; XLA
+                    # removes the dead ops).
+                    _ = cbr1(jnp.zeros((1, 4, 4, xc.shape[-1]), xc.dtype),
+                             False)
+                    _ = cbr2(jnp.zeros((1, 4, 4, mid), xc.dtype), False)
+                    p1 = cbr1.variables["params"]["Conv_0"]["Conv_0"]
+                    p2 = cbr2.variables["params"]["Conv_0"]["Conv_0"]
+                    dt = xc.dtype
+                    return conv3x3_pair_gemm(
+                        xc, p1["kernel"].astype(dt), p1["bias"],
+                        p2["kernel"].astype(dt), p2["bias"])
 
         max_c = int(os.environ.get("EGM_DC_S2D_MAXC", "64"))
         if (self.fold_bn and up_pair is None and not train and x.ndim == 4

@@ -118,6 +118,92 @@ def test_egm_conv_sites_filter(monkeypatch):
     assert hits
 
 
+def _pair_ref(x, w1, b1, w2, b2):
+    y = _ref(x, w1, b1, True)
+    return _ref(y, w2, b2, True)
+
+
+@pytest.mark.parametrize("shape,cm,co", [
+    ((2, 16, 16, 32), 64, 64),     # down1 pair (C 32 -> 64 -> 64)
+    ((1, 8, 8, 64), 128, 128),     # down2 pair
+    ((1, 8, 10, 64), 32, 32),      # W not sublane-aligned
+    ((1, 12, 16, 128), 64, 96),    # rb=4 row blocks, Cm != Co
+])
+def test_conv3x3_pair_parity(shape, cm, co):
+    from egm_unet_tpu.ops.pallas.conv3x3 import (conv3x3_pair_gemm,
+                                                 conv3x3_pair_supported)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, shape[-1], cm)) * 0.1,
+                     jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((cm,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, cm, co)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((co,)) * 0.1, jnp.float32)
+    assert conv3x3_pair_supported(shape, cm, co, jnp.float32)
+    out = conv3x3_pair_gemm(x, w1, b1, w2, b2, interpret=True)
+    ref = _pair_ref(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_conv3x3_pair_supported_guard():
+    from egm_unet_tpu.ops.pallas.conv3x3 import conv3x3_pair_supported
+
+    assert not conv3x3_pair_supported((1, 7, 8, 64), 64, 64, jnp.float32)
+    assert not conv3x3_pair_supported((1, 8, 8, 3), 32, 32, jnp.float32)
+    assert not conv3x3_pair_supported((8, 8, 64), 64, 64, jnp.float32)
+
+
+def test_egm_conv_pair_env_route(monkeypatch):
+    """$EGM_CONV_IMPL=pallas-pair fuses a folded DoubleConv with an
+    identical param tree and matching outputs."""
+    import egm_unet_tpu.ops.pallas.conv3x3 as k
+    from egm_unet_tpu.nn.layers import DoubleConv
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 32)), jnp.float32)
+    m = DoubleConv(64, fold_bn=True)
+    v = m.init(jax.random.key(0), x, False)
+    ref = m.apply(v, x, False)
+
+    hits = []
+    real = k.conv3x3_pair_gemm
+    monkeypatch.setattr(k, "conv3x3_pair_gemm",
+                        lambda *a, **kw: hits.append(1) or real(*a, **kw))
+    monkeypatch.setenv("EGM_CONV_IMPL", "pallas-pair")
+    v2 = m.init(jax.random.key(0), x, False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    out = m.apply(v, x, False)
+    assert hits
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_egm_conv_pair_decoder_route(monkeypatch):
+    """pallas-pair on a decoder Up stage: XLA upsample+concat feeding the
+    fused conv pair matches the unfused folded graph."""
+    import egm_unet_tpu.ops.pallas.conv3x3 as k
+    from egm_unet_tpu.models.unet import Up
+
+    rng = np.random.default_rng(9)
+    x1 = jnp.asarray(rng.standard_normal((1, 8, 8, 32)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((1, 16, 16, 32)), jnp.float32)
+    m = Up(32, bilinear=True, fold_bn=True)
+    v = m.init(jax.random.key(0), x1, x2, False)
+    ref = m.apply(v, x1, x2, False)
+
+    hits = []
+    real = k.conv3x3_pair_gemm
+    monkeypatch.setattr(k, "conv3x3_pair_gemm",
+                        lambda *a, **kw: hits.append(1) or real(*a, **kw))
+    monkeypatch.setenv("EGM_CONV_IMPL", "pallas-pair")
+    out = m.apply(v, x1, x2, False)
+    assert hits
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.parametrize("relu", [False, True])
 def test_conv3x3_dots_parity(relu):
     rng = np.random.default_rng(3)

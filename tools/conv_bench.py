@@ -69,12 +69,71 @@ def measure(fn, x, n1=2, n2=10, repeats=3):
     return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
+# fusable DoubleConv pairs of EGMUNet base_c=32 at 512^2 inference:
+# (name, H, W, C_in, C_mid, C_out).  Decoder pairs consume the XLA-side
+# upsample+concat output (nn/layers.py DoubleConv pallas-pair routing).
+PAIR_SITES = [
+    ("up1/pair", 64, 64, 512, 256, 128),
+    ("up2/pair", 128, 128, 256, 128, 64),
+    ("up3/pair", 256, 256, 128, 64, 32),
+    ("up4/pair", 512, 512, 64, 32, 32),
+    ("down1/pair*", 256, 256, 32, 64, 64),   # *only in no-MCA ablations
+    ("down2/pair*", 128, 128, 64, 128, 128),
+]
+
+
+def bench_pairs(args, dt, rng):
+    from egm_unet_tpu.ops.conv import conv2d
+    from egm_unet_tpu.ops.pallas.conv3x3 import (conv3x3_pair_gemm,
+                                                 conv3x3_pair_supported)
+
+    for name, h, w, c, cm, co in PAIR_SITES:
+        if args.sites and not any(s in name for s in args.sites.split(",")):
+            continue
+        shape = (args.batch, h, w, c)
+        x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32), dt)
+        w1 = jnp.asarray(
+            rng.standard_normal((3, 3, c, cm), dtype=np.float32) * 0.05, dt)
+        b1 = jnp.asarray(rng.standard_normal((cm,), np.float32) * 0.05,
+                         jnp.float32)
+        w2 = jnp.asarray(
+            rng.standard_normal((3, 3, cm, co), dtype=np.float32) * 0.05, dt)
+        b2 = jnp.asarray(rng.standard_normal((co,), np.float32) * 0.05,
+                         jnp.float32)
+        flops = 2 * args.batch * h * w * 9 * (c * cm + cm * co)
+        row = [f"{name:14s} {h}x{w} {c:3d}->{cm:3d}->{co:3d}"]
+        outs = {}
+
+        def xla_fn(xx):
+            y = jax.nn.relu(conv2d(xx, w1, padding=1) + b1.astype(xx.dtype))
+            return jax.nn.relu(conv2d(y, w2, padding=1) + b2.astype(xx.dtype))
+
+        fns = {"xla": xla_fn}
+        if conv3x3_pair_supported(shape, cm, co, dt):
+            fns["pair"] = lambda xx: conv3x3_pair_gemm(xx, w1, b1, w2, b2)
+        else:
+            row.append("pair: n/a")
+        for impl, fn in fns.items():
+            try:
+                outs[impl] = np.asarray(fn(x)[0, 2:4, 2:4, :2], np.float32)
+                ms = measure(fn, x) * 1e3
+                row.append(f"{impl}: {ms:7.2f}ms ({flops / ms / 1e9:6.1f} TF/s)")
+            except Exception as e:
+                row.append(f"{impl}: FAIL {type(e).__name__}: {str(e)[:90]}")
+        if "xla" in outs and "pair" in outs and not np.allclose(
+                outs["pair"], outs["xla"], atol=0.2):
+            row.append(f"!PARITY dev="
+                       f"{np.max(np.abs(outs['pair'] - outs['xla'])):.3f}")
+        print("  ".join(row), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--impls", default="xla,dots,pallas")
     p.add_argument("--sites", default=None, help="comma substrings filter")
+    p.add_argument("--no-pairs", action="store_true")
     args = p.parse_args()
 
     from egm_unet_tpu.ops.conv import conv2d, conv3x3_dots
@@ -124,6 +183,9 @@ def main():
                     row.append(f"!PARITY {k} dev="
                                f"{np.max(np.abs(v - outs['xla'])):.3f}")
         print("  ".join(row), flush=True)
+
+    if not args.no_pairs:
+        bench_pairs(args, dt, rng)
 
 
 if __name__ == "__main__":

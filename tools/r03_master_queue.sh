@@ -48,6 +48,12 @@ log "3/7 conv3x3 implicit-GEMM headline vs control"
 EGM_CONV_IMPL=pallas timeout 3000 python -u bench.py --mode inference \
     --batches 128 > "$OUT/conv_pallas.log" 2>&1
 log "conv_pallas rc=$?"
+EGM_CONV_IMPL=pallas-pair timeout 3000 python -u bench.py --mode inference \
+    --batches 128 > "$OUT/conv_pair.log" 2>&1
+log "conv_pair rc=$?"
+EGM_CONV_IMPL=pallas-both timeout 3000 python -u bench.py --mode inference \
+    --batches 128 > "$OUT/conv_both.log" 2>&1
+log "conv_both rc=$?"
 timeout 3000 python -u bench.py --mode inference \
     --batches 128 > "$OUT/conv_xla_control.log" 2>&1
 log "conv_xla_control rc=$?"
