@@ -39,6 +39,10 @@ main(['--synthetic', '--synthetic-n', '876', '--synthetic-val-n', '52',
 " > "$PROOF/bs64_log.txt" 2>&1
 log "bs64 run rc=$?"
 
+log "2a/7 conv kernel compile probe (fail-fast)"
+timeout 1800 python -u tools/conv_compile_probe.py > "$OUT/conv_probe.log" 2>&1
+log "conv_probe rc=$?"
+
 log "2/7 kernel parity (compiled Mosaic vs XLA)"
 timeout 2400 python -u bench.py --verify-kernels --mode inference \
     --batches 16 > "$OUT/verify.log" 2>&1
