@@ -164,11 +164,14 @@ def _pair_kernel(rb: int, wp: int, w_real: int, h_real: int, out_dtype,
     acc1 = jnp.dot(a1, w1_ref[:], preferred_element_type=jnp.float32)
     acc1 = jnp.maximum(acc1 + b1_ref[:].astype(jnp.float32), 0.0)
     y1 = acc1.reshape(rb + 2, wp, cm)
-    r_real = ht * rb + jax.lax.broadcasted_iota(jnp.int32, (rb + 2, wp), 0) - 1
-    v = jax.lax.broadcasted_iota(jnp.int32, (rb + 2, wp), 1)
+    # masks built at broadcast rank with 3-D iotas: Mosaic can't add a minor
+    # dim to an i1 vector via reshape (round-2 mca.py lesson)
+    r_real = (ht * rb - 1
+              + jax.lax.broadcasted_iota(jnp.int32, (rb + 2, wp, 1), 0))
+    v = jax.lax.broadcasted_iota(jnp.int32, (rb + 2, wp, 1), 1)
     keep = ((r_real >= 0) & (r_real < h_real)
             & (v >= 1) & (v <= w_real))
-    y1 = jnp.where(keep[:, :, None], y1, 0.0).astype(out_dtype)
+    y1 = jnp.where(keep, y1, 0.0).astype(out_dtype)
 
     # stage 2: conv2+bias+relu on the rb output rows, VMEM-resident input
     taps = []
