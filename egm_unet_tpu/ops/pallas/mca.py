@@ -148,9 +148,10 @@ def mca_fused(x: jax.Array, g_h: jax.Array, g_w: jax.Array, g_c: jax.Array,
     x_out = (x.astype(jnp.float32) * gsum).astype(x.dtype)
     # width 8-aligned (the DMA slice's second-to-minor dim must be a multiple
     # of 8 — pad the total padded width, not just w+8, so odd w works too),
-    # channels lane-aligned
+    # channels lane-aligned.  The DMA source and the slab must have EQUAL
+    # widths (Mosaic verifies copy shapes match): both are w + 4 + wr.
     wr = 4 + (-(w + 8) % 8)  # right pad >= 4; (w + 4 + wr) % 8 == 0
-    xp = jnp.pad(x_out, ((0, 0), (2, 2), (2, wr), (0, cp - c)))
+    xp = jnp.pad(x_out, ((0, 0), (2, 2), (2, wr + 2), (0, cp - c)))
 
     kernel = functools.partial(_mca_kernel, h, w, th, groups, c, x.dtype)
     grid = (b, h // th)
