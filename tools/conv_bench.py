@@ -26,14 +26,14 @@ from jax import lax
 # (name, H, W, C_in, C_out) at batch --batch; encoder/decoder conv sites of
 # EGMUNet base_c=32 at 512^2 inference (models/egm_unet.py)
 SITES = [
-    ("inc/conv2", 512, 512, 32, 32),
-    ("down1/conv1", 256, 256, 32, 64),
-    ("down1/conv2", 256, 256, 64, 64),
+    ("down3/conv2", 64, 64, 256, 256),
     ("down2/conv1", 128, 128, 64, 128),
     ("down2/conv2", 128, 128, 128, 128),
-    ("down3/conv2", 64, 64, 256, 256),
     ("up2/conv2", 128, 128, 128, 128),
+    ("down1/conv1", 256, 256, 32, 64),
+    ("down1/conv2", 256, 256, 64, 64),
     ("up3/conv2", 256, 256, 64, 64),
+    ("inc/conv2", 512, 512, 32, 32),
     ("up4/conv2", 512, 512, 32, 32),
 ]
 
@@ -75,10 +75,10 @@ def measure(fn, x, n1=2, n2=10, repeats=3):
 PAIR_SITES = [
     ("up1/pair", 64, 64, 512, 256, 128),
     ("up2/pair", 128, 128, 256, 128, 64),
+    ("down2/pair*", 128, 128, 64, 128, 128),
+    ("down1/pair*", 256, 256, 32, 64, 64),   # *only in no-MCA ablations
     ("up3/pair", 256, 256, 128, 64, 32),
     ("up4/pair", 512, 512, 64, 32, 32),
-    ("down1/pair*", 256, 256, 32, 64, 64),   # *only in no-MCA ablations
-    ("down2/pair*", 128, 128, 64, 128, 128),
 ]
 
 
@@ -125,13 +125,14 @@ def bench_pairs(args, dt, rng):
             row.append(f"!PARITY dev="
                        f"{np.max(np.abs(outs['pair'] - outs['xla'])):.3f}")
         print("  ".join(row), flush=True)
+        del x, w1, b1, w2, b2, outs
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--impls", default="xla,dots,pallas")
+    p.add_argument("--impls", default="xla,pallas")
     p.add_argument("--sites", default=None, help="comma substrings filter")
     p.add_argument("--no-pairs", action="store_true")
     args = p.parse_args()
@@ -183,6 +184,7 @@ def main():
                     row.append(f"!PARITY {k} dev="
                                f"{np.max(np.abs(v - outs['xla'])):.3f}")
         print("  ".join(row), flush=True)
+        del x, wk, b, outs
 
     if not args.no_pairs:
         bench_pairs(args, dt, rng)
