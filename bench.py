@@ -19,9 +19,29 @@ dispatch overhead: per_iter = (t(N2) - t(N1)) / (N2 - N1).
 import argparse
 import functools
 import json
+import os
 import time
 
 import jax
+
+
+def _compiler_options():
+    """Optional XLA compiler options for the timed programs.
+
+    ``EGM_COMPILER_OPTIONS="xla_tpu_scoped_vmem_limit_kib=65536,..."`` —
+    the axon tunnel parses ``XLA_FLAGS`` in the *client* process, where the
+    TPU backend flags are not registered (fatal ``Unknown flag``,
+    runs/r03_master/xla_flags); per-program ``compiler_options`` travel via
+    PJRT to the remote compiler instead, so this is the only working channel
+    for TPU compiler knobs in this environment."""
+    spec = os.environ.get("EGM_COMPILER_OPTIONS", "").strip()
+    if not spec:
+        return None
+    return dict(kv.split("=", 1) for kv in spec.split(",") if kv)
+
+
+def _jit(fn):
+    return jax.jit(fn, compiler_options=_compiler_options())
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -30,7 +50,7 @@ from jax import lax
 def chained_forward(model, variables, x0, n_iters: int):
     """One jit program running n data-dependent forwards, returns a scalar."""
 
-    @jax.jit
+    @_jit
     def run(v, x):
         def step(carry, _):
             out = model.apply(v, carry, train=False)["out"]
@@ -53,7 +73,7 @@ def chained_train(step_fn, n_iters: int):
     # NOTE: no buffer donation here — the two-point methodology re-invokes
     # the same program with the same state (donation would invalidate it);
     # cli/train.py (the real loop) donates.
-    @jax.jit
+    @_jit
     def run(state, images, targets):
         def body(carry, _):
             new_state, aux = step_fn(carry, images, targets)

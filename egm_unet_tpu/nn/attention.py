@@ -61,6 +61,8 @@ class MCAGate(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_gate: bool = False):
+        import os
+
         reduce_axes = tuple(a for a in (1, 2, 3) if a != self.axis)
         # centered second moment (mean pass, then E[(x-mean)²] pass): the
         # single-pass E[x²]-E[x]² form loses ~log2(mean²/var) bits to
@@ -68,7 +70,13 @@ class MCAGate(nn.Module):
         # which can flip the sigmoid gate vs the torch oracle.  Both reduces
         # still fuse tensor-wide; the extra read of x is ~2 GB/s-level noise
         # next to the conv traffic (PERF.md).
-        xf = x.astype(jnp.float32)
+        # EGM_GATE_MATH=native: serving-only knob that keeps the pooled
+        # statistics in the activation dtype (drops the f32 convert islands
+        # the round-1 profile flagged); off-parity, argmax masks measured
+        # insensitive — see PERF.md round 3.
+        math_dt = (x.dtype if os.environ.get("EGM_GATE_MATH", "f32") ==
+                   "native" else jnp.float32)
+        xf = x.astype(math_dt)
         n = 1
         for a in reduce_axes:
             n *= x.shape[a]

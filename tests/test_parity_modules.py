@@ -80,6 +80,23 @@ def test_mcagate(rng, axis):
     check(out, ref)
 
 
+def test_mcagate_native_math(rng, monkeypatch):
+    """EGM_GATE_MATH=native (serving knob, PERF.md round 3) computes the
+    pooled statistics in the activation dtype; the gate must stay close to
+    the f32 reference — loose bf16-level tolerance, exact shape/finite."""
+    c, h, w = 16, 10, 12
+    x = rng.standard_normal((2, h, w, c), dtype=np.float32)
+    m = MCAGate(axis=3, k_size=3)
+    v = m.init(jax.random.key(0), nhwc(x))
+    ref = m.apply(v, nhwc(x))
+    xb = jnp.asarray(nhwc(x), dtype=jnp.bfloat16)
+    monkeypatch.setenv("EGM_GATE_MATH", "native")
+    out = m.apply(v, xb)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), rtol=0.05, atol=0.05)
+
+
 def test_mcalayer(rng):
     c = 32
     x = rng.standard_normal((2, 12, 12, c), dtype=np.float32)

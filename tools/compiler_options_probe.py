@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Probe which XLA compiler options the remote (axon/PJRT) TPU compiler
+accepts via ``jax.jit(..., compiler_options=...)``.
+
+Client-side ``XLA_FLAGS`` is a dead end in this environment: the flag
+parser runs in the local process where TPU backend flags are not registered
+(fatal ``Unknown flag``, see runs/r03_master/xla_flags/*.log).  Per-program
+compiler options ride the PJRT compile request instead, so they reach the
+compiler that actually owns the flags.
+
+Each candidate compiles a small conv+relu chain (shape-representative of
+the EGM graph: 3x3 conv, NHWC, bf16) and reports accept/reject.  Cheap by
+design — acceptance here gates a full bench.py run via
+``EGM_COMPILER_OPTIONS`` (same key=value syntax).
+"""
+import sys
+
+import numpy as np
+
+CANDIDATES = [
+    {},  # control
+    {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    {"xla_tpu_scoped_vmem_limit_kib": "98304"},
+    {"xla_tpu_enable_latency_hiding_scheduler": "false"},
+    {"xla_tpu_enable_aggressive_loop_fusion_layout_opt": "true"},
+    {"xla_enable_async_all_gather": "false"},
+]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 64, 64, 32), np.float32),
+                    jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 32), np.float32),
+                    jnp.bfloat16)
+
+    def f(x, w):
+        for _ in range(3):
+            x = jax.nn.relu(jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        return jnp.sum(x.astype(jnp.float32))
+
+    any_accepted = False
+    for opts in CANDIDATES:
+        name = ",".join(f"{k}={v}" for k, v in opts.items()) or "<control>"
+        try:
+            out = float(jax.jit(f, compiler_options=opts or None)(x, w))
+            print(f"ACCEPT {name}  (out={out:.3f})", flush=True)
+            any_accepted = any_accepted or bool(opts)
+        except Exception as e:
+            msg = str(e).splitlines()[0][:160]
+            print(f"REJECT {name}  {type(e).__name__}: {msg}", flush=True)
+    return 0 if any_accepted else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
