@@ -63,6 +63,12 @@ def parse_args(argv=None):
                         "(engine.make_train_multistep) — amortizes the "
                         "per-launch host round-trip on tunneled/remote "
                         "TPUs; incompatible with --device-aug")
+    p.add_argument("--grad-accum", default=1, type=int,
+                   help="split each batch into N sequential microbatches "
+                        "inside the jitted step, averaging grads into one "
+                        "optimizer update (engine.make_train_step_accum) — "
+                        "fits batch sizes whose monolithic backward OOMs "
+                        "(e.g. 128 at 480px = 2 x 64 + --remat)")
     p.add_argument("--remat", action="store_true",
                    help="checkpoint each stage in backward (large batches)")
     p.add_argument("--remat-fine", action="store_true",
@@ -183,10 +189,23 @@ def main(argv=None):
         from egm_unet_tpu.data.transforms import TP_MEAN, TP_STD
 
         norm = (TP_MEAN, TP_STD)
+    accum = max(1, args.grad_accum)
+    if accum > 1 and args.batch_size % accum:
+        raise SystemExit(f"--batch-size {args.batch_size} must be divisible "
+                         f"by --grad-accum {accum}")
     if k_steps > 1:
         train_step = jax.jit(make_train_multistep(num_classes=num_classes,
                                                   normalize=norm,
-                                                  input_dtype=dtype),
+                                                  input_dtype=dtype,
+                                                  accum=accum),
+                             donate_argnums=(0,))
+    elif accum > 1:
+        from egm_unet_tpu.engine import make_train_step_accum
+
+        train_step = jax.jit(make_train_step_accum(accum,
+                                                   num_classes=num_classes,
+                                                   normalize=norm,
+                                                   input_dtype=dtype),
                              donate_argnums=(0,))
     else:
         train_step = jax.jit(make_train_step(num_classes=num_classes,

@@ -7,4 +7,5 @@ from egm_unet_tpu.engine.train import (  # noqa: F401
     make_eval_step,
     make_train_multistep,
     make_train_step,
+    make_train_step_accum,
 )

@@ -66,9 +66,75 @@ def make_train_step(num_classes: int = 2, dice: bool = True,
     return train_step
 
 
+def make_train_step_accum(accum: int, num_classes: int = 2, dice: bool = True,
+                          ignore_index: int = 255, normalize=None,
+                          input_dtype=None):
+    """Gradient-accumulation step: ``(state, images[B], targets[B])`` with B
+    split into ``accum`` sequential microbatches of B/accum inside one jit —
+    grads are averaged across microbatches and applied in ONE optimizer
+    update, so the *optimizer* sees the full batch while the *activations*
+    (and the backward working set) only ever hold one microbatch.
+
+    This is the bs-128-at-480px enabler on a 16 GB chip: the monolithic
+    bs-128 backward OOMs on decoder/EGRFB activation temps even with
+    per-conv remat (runs/r03_master/train_bs128_short.log), and the
+    per-conv-remat program is itself too large for the remote compiler at
+    12 unrolled steps.  2 x bs-64 microbatches with stage remat fit easily
+    and compile fast.
+
+    Semantics vs a monolithic batch (documented, inherent to accumulation):
+    - BatchNorm statistics are computed per microbatch (each forward sees
+      B/accum samples) and the running stats thread through the scan — the
+      same thing a sequential torch grad-accumulation loop does.
+    - The reference's ``lap_loss`` first-sample quirk (ref:
+      dice_coefficient_loss.py:81, kept for parity in losses.py) samples the
+      first element of *each microbatch*, and the per-microbatch mean losses
+      are averaged with equal weight (exact for B % accum == 0, which is
+      enforced).
+    """
+    loss_weight = L.default_loss_weight(num_classes)
+
+    def train_step(state, images, targets):
+        if normalize is not None:
+            images = _device_normalize(images, normalize, input_dtype)
+        batch = images.shape[0]
+        if batch % accum:
+            raise ValueError(f"batch {batch} not divisible by accum {accum}")
+        mb = batch // accum
+        im = images.reshape(accum, mb, *images.shape[1:])
+        tg = targets.reshape(accum, mb, *targets.shape[1:])
+
+        def micro(carry, xt):
+            stats, gsum, lsum = carry
+            x, t = xt
+
+            def loss_fn(params):
+                outputs, updates = state.apply_fn(
+                    {"params": params, "batch_stats": stats},
+                    x, train=True, mutable=["batch_stats"])
+                loss = L.criterion(outputs, t, loss_weight, num_classes,
+                                   dice=dice, ignore_index=ignore_index)
+                return loss, updates["batch_stats"]
+
+            (loss, new_stats), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+            return (new_stats, gsum, lsum + loss), ()
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        carry0 = (state.batch_stats, zeros, jnp.zeros((), jnp.float32))
+        (new_stats, gsum, lsum), _ = jax.lax.scan(micro, carry0, (im, tg))
+        grads = jax.tree_util.tree_map(lambda a: a / accum, gsum)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        aux = {"loss": lsum / accum, "lr": state.lr_fn(state.step)}
+        return state, aux
+
+    return train_step
+
+
 def make_train_multistep(num_classes: int = 2, dice: bool = True,
                          ignore_index: int = 255, normalize=None,
-                         input_dtype=None):
+                         input_dtype=None, accum: int = 1):
     """K train steps per dispatch: ``(state, images[K,B,...],
     targets[K,B,...]) -> (state, aux-of-[K])`` via ``lax.scan``.
 
@@ -80,9 +146,14 @@ def make_train_multistep(num_classes: int = 2, dice: bool = True,
     opt state, BN stats) exactly as the Python loop would.  This replaces
     the per-step `loss.backward()` launch loop of the reference
     (ref: train_utils/train_and_eval.py:43-75) with a dispatch shape
-    designed for a remote accelerator."""
-    step = make_train_step(num_classes, dice, ignore_index, normalize,
-                           input_dtype)
+    designed for a remote accelerator.  ``accum > 1`` makes the inner step a
+    gradient-accumulation step (make_train_step_accum)."""
+    if accum > 1:
+        step = make_train_step_accum(accum, num_classes, dice, ignore_index,
+                                     normalize, input_dtype)
+    else:
+        step = make_train_step(num_classes, dice, ignore_index, normalize,
+                               input_dtype)
 
     def multi_step(state, images, targets):
         def body(st, xt):
