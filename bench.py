@@ -26,18 +26,12 @@ import jax
 
 
 def _compiler_options():
-    """Optional XLA compiler options for the timed programs.
+    """XLA compiler options for the timed programs (see
+    egm_unet_tpu/utils/compile_opts.py: measured TPU defaults, overridable
+    via ``EGM_COMPILER_OPTIONS="k=v,..."`` / disabled with ``=none``)."""
+    from egm_unet_tpu.utils.compile_opts import tpu_compiler_options
 
-    ``EGM_COMPILER_OPTIONS="xla_tpu_scoped_vmem_limit_kib=65536,..."`` —
-    the axon tunnel parses ``XLA_FLAGS`` in the *client* process, where the
-    TPU backend flags are not registered (fatal ``Unknown flag``,
-    runs/r03_master/xla_flags); per-program ``compiler_options`` travel via
-    PJRT to the remote compiler instead, so this is the only working channel
-    for TPU compiler knobs in this environment."""
-    spec = os.environ.get("EGM_COMPILER_OPTIONS", "").strip()
-    if not spec:
-        return None
-    return dict(kv.split("=", 1) for kv in spec.split(",") if kv)
+    return tpu_compiler_options()
 
 
 def _jit(fn):
@@ -98,6 +92,7 @@ def bench_train(args):
     """Train-step throughput at the reference's 480² crop (BASELINE.md
     recipe: SGD lr .02, CE+dice+edge losses — the full make_train_step)."""
     from egm_unet_tpu.engine import (create_train_state, make_train_step,
+                                     make_train_step_accum,
                                      warmup_poly_schedule)
     from egm_unet_tpu.models import create_model
 
@@ -106,7 +101,10 @@ def bench_train(args):
                          remat="fine" if args.remat_fine else args.remat)
     sched = warmup_poly_schedule(0.02, num_step=100, epochs=200)
     state = create_train_state(model, jax.random.key(0), (1, 64, 64, 3), sched)
-    step_fn = make_train_step(num_classes=2)
+    if args.grad_accum > 1:
+        step_fn = make_train_step_accum(args.grad_accum, num_classes=2)
+    else:
+        step_fn = make_train_step(num_classes=2)
     rng = np.random.default_rng(0)
 
     best, best_bs, best_ms = 0.0, 0, 0.0
@@ -144,6 +142,7 @@ def bench_train(args):
         "ms_per_step": round(best_ms, 3),
         "dtype": args.dtype,
         "device": str(jax.devices()[0]),
+        **({"grad_accum": args.grad_accum} if args.grad_accum > 1 else {}),
     }))
 
 
@@ -175,7 +174,7 @@ def bench_clipseg(args):
                 (bs, model.clip_cfg.embed_dim), dtype=np.float32), dtype)
 
             def chain(n_iters):
-                @jax.jit
+                @_jit
                 def run(v, x0):
                     def step(carry, _):
                         out = apply_fn(v, carry, cond)
@@ -247,7 +246,7 @@ def bench_text(args):
         tokens = make_tokens(bs)
 
         def chain(n_iters):
-            @jax.jit
+            @_jit
             def run(v, t0):
                 def step(carry, _):
                     out = model.apply(v, carry, method="encode_text")
@@ -453,6 +452,8 @@ def bench_fusion(args, timeout_s: int = 1500):
                               capture_output=True, text=True)
         ok = proc.returncode == 0
         tail = (proc.stdout or "").strip().splitlines()[-2:]
+        if not ok:  # surface the failure, not just the stdout tail
+            tail += (proc.stderr or "").strip().splitlines()[-4:]
         for ln in tail:
             print(f"# fusion_eval: {ln}", flush=True)
     except subprocess.TimeoutExpired:
@@ -600,6 +601,9 @@ def main():
                         "480px; ~1/3 recompute FLOPs)")
     p.add_argument("--remat-fine", action="store_true",
                    help="train mode: per-conv checkpointing (fits bs 128)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="train mode: N sequential microbatches per optimizer "
+                        "update inside the step (bs 128 = 2 x 64 + --remat)")
     p.add_argument("--verify-kernels", action="store_true",
                    help="before timing, run compiled Pallas kernels against "
                         "their XLA references on the live backend")

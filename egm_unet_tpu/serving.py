@@ -12,6 +12,7 @@ efficiency.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -94,7 +95,12 @@ class Predictor:
         # first real batch, so the context must wrap calls, not the def)
         key = bucket_hw
         if key not in self._compiled:
-            @jax.jit
+            from egm_unet_tpu.utils.compile_opts import tpu_compiler_options
+
+            # measured TPU compiler defaults (scoped-VMEM budget, PERF.md
+            # round 3: +8% on the 512px headline); None on CPU backends
+            @functools.partial(jax.jit,
+                               compiler_options=tpu_compiler_options())
             def fwd(v, x):
                 return jnp.argmax(
                     self.model.apply(v, x, train=False)["out"], axis=-1)

@@ -24,6 +24,24 @@ CANDIDATES = [
     {"xla_tpu_enable_latency_hiding_scheduler": "false"},
     {"xla_tpu_enable_aggressive_loop_fusion_layout_opt": "true"},
     {"xla_enable_async_all_gather": "false"},
+    # round-3 second wave: finer vmem sweep + fusion/layout knobs that
+    # target the profile's known costs (layout flips, window-tap reads)
+    {"xla_tpu_scoped_vmem_limit_kib": "49152"},
+    {"xla_tpu_scoped_vmem_limit_kib": "81920"},
+    {"xla_tpu_scoped_vmem_limit_kib": "131072"},
+    {"xla_tpu_rwb_fusion": "false"},
+    {"xla_tpu_enable_dot_strength_reduction": "false"},
+    {"xla_tpu_licm_size_inflation_ratio": "2.0"},
+    {"xla_tpu_enable_multi_level_nested_loop_fusion": "true"},
+    {"xla_tpu_use_bundle_aware_cost_model_for_fusions": "true"},
+    {"xla_tpu_dot_dot_fusion": "true"},
+    {"xla_tpu_enable_experimental_fusion_cost_model": "true"},
+    {"xla_tpu_nested_dot_fusion": "true"},
+    {"xla_tpu_enable_vmem_to_vmem_dmas": "true"},
+    {"xla_tpu_vector_load_fusion_level": "2"},
+    {"xla_tpu_async_copy_bandwidth_scaling_factor": "1.5"},
+    {"xla_tpu_memory_limit_slack_factor": "0.95"},
+    {"xla_tpu_prefer_async_allocations": "true"},
 ]
 
 
