@@ -37,6 +37,15 @@ else
   log "2/3 skipped (no compiler option accepted)"
 fi
 
+log "2.5/3 bs128 remat-fine retry with short timing chain"
+# the default 2/12-step chained program OOM-kills the REMOTE COMPILER
+# (tpu_compile_helper SIGKILL, runs/r03_master/train_bs128_rematfine.log)
+# — per-conv remat at bs128 x 12 unrolled steps is too big a module to
+# compile; a 1/3-step chain quarters the program size
+timeout 3600 python -u bench.py --mode train --size 480 --remat-fine \
+    --batches 128 --n1 1 --n2 3 > "$OUT/train_bs128_short.log" 2>&1
+log "bs128_short rc=$? $(grep -h '"metric"' "$OUT/train_bs128_short.log" | tail -1)"
+
 log "3/3 bs64 proof resume (latest ckpt -> 48 epochs)"
 # the killed run re-appends epochs from ckpt+1: drop any blocks at or past
 # the resume point so the results file stays one monotonic sequence
