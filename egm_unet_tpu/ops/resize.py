@@ -225,5 +225,31 @@ def upsample2x_bilinear_align_corners(x: jax.Array,
         if supported(x) and (impl == "pallas-all" or x.shape[3] % 128 == 0):
             return upsample2x_fused(x)
         impl = "matmul"  # odd 480-class stage sizes fall back
-    return resize_bilinear(x, (2 * x.shape[1], 2 * x.shape[2]),
-                           align_corners=True, impl=impl)
+    y = resize_bilinear(x, (2 * x.shape[1], 2 * x.shape[2]),
+                        align_corners=True, impl=impl)
+    return _maybe_layout_constraint(y)
+
+
+def _maybe_layout_constraint(y: jax.Array) -> jax.Array:
+    """Opt-in XLA layout pin on the decoder resize output.
+
+    ``$EGM_UP_LAYOUT="1,2,0,3"`` (a major_to_minor permutation) constrains
+    the resize-matmul output to that device layout via
+    ``jax.experimental.layout.with_layout_constraint``, so the layout flip
+    XLA otherwise schedules between the einsum (W-minor fusion layout) and
+    the consumer conv (C-minor) can fuse into the matmul epilogue instead of
+    running as a standalone ~2 ms copy (PERF.md round-2 profile: ~21 ms/iter
+    of decoder resize layout flips at batch 128).  Measurement hook only —
+    unset = XLA's own choice."""
+    import os
+
+    spec = os.environ.get("EGM_UP_LAYOUT")
+    if not spec:
+        return y
+    order = tuple(int(t) for t in spec.split(","))
+    if len(order) != y.ndim:  # e.g. rank-3 eval-path resizes: leave alone
+        return y
+    from jax.experimental import layout
+
+    return layout.with_layout_constraint(
+        y, layout.Layout(major_to_minor=order))

@@ -101,6 +101,19 @@ def test_upsample2x_helper(rng):
     np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_upsample2x_layout_constraint_is_value_neutral(rng, monkeypatch):
+    """$EGM_UP_LAYOUT pins the resize output's XLA layout (a perf
+    measurement hook, PERF.md round 3) — values must be bit-identical."""
+    import jax
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8), dtype=np.float32))
+    base = np.asarray(jax.jit(ops.upsample2x_bilinear_align_corners)(x))
+    monkeypatch.setenv("EGM_UP_LAYOUT", "1,2,0,3")
+    got = np.asarray(
+        jax.jit(lambda v: ops.upsample2x_bilinear_align_corners(v))(x))
+    np.testing.assert_array_equal(got, base)
+
+
 def test_resize_nearest_torch_mode(rng):
     x = rng.standard_normal((2, 13, 17, 2), dtype=np.float32)
     ref = F.interpolate(nchw(x), size=(29, 8), mode="nearest")
