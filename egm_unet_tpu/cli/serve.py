@@ -1,0 +1,224 @@
+"""HTTP mask-serving front end over ``serving.Predictor``.
+
+The reference's deployment story stops at per-image script loops
+(ref: predict.py:48-93 — open file, forward, save PNG).  This CLI is the
+production equivalent for a TPU chip: a threaded HTTP server whose
+concurrent requests are coalesced by a micro-batcher into one fixed-shape
+device batch (one compiled program per shape bucket, from Predictor), so
+N simultaneous clients ride the batch-128 throughput sweet spot instead of
+N sequential batch-1 dispatches.
+
+Endpoints:
+  POST /predict   body = PNG/JPEG image bytes -> PNG {0,255} mask at the
+                  original resolution (Content-Type: image/png)
+  GET  /healthz   liveness ("ok" once the model has compiled its first
+                  bucket; "warming" before)
+  GET  /stats     JSON counters (requests, batches, mean batch occupancy)
+
+Run:  python -m egm_unet_tpu.cli.serve --weights save_weights --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", default="save_weights", help="checkpoint dir")
+    p.add_argument("--model", default="egm_unet")
+    p.add_argument("--base-c", default=32, type=int)
+    p.add_argument("--num-classes", default=1, type=int)
+    p.add_argument("--base-size", default=565, type=int)
+    p.add_argument("--batch-size", default=128, type=int,
+                   help="device batch capacity (128 = the v5e lane-aligned "
+                        "sweet spot, PERF.md)")
+    p.add_argument("--batch-window-ms", default=5.0, type=float,
+                   help="how long the micro-batcher waits for more requests "
+                        "after the first arrival before dispatching")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", default=8000, type=int)
+    p.add_argument("--quant", default=None, choices=[None, "int8"],
+                   help="serving-only quantization (off-parity; see bench.py "
+                        "--mode int8 for the measured agreement stat)")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--init-random", action="store_true",
+                   help="serve randomly-initialized weights (smoke tests)")
+    return p.parse_args(argv)
+
+
+class MicroBatcher:
+    """Coalesces concurrent predict() calls into one Predictor batch.
+
+    Callers enqueue an image and block on a per-request event; a single
+    dispatcher thread drains the queue — waiting ``window_ms`` after the
+    first arrival so simultaneous clients land in the same device batch —
+    and fans the masks back out.  Predictor already packs one fixed-size
+    batch per shape bucket, so the compiled-program cache is shared across
+    all requests for the lifetime of the server.
+    """
+
+    def __init__(self, predictor, max_batch: int, window_ms: float):
+        self.predictor = predictor
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self._lock = threading.Lock()
+        self._queue: List[dict] = []
+        self._wake = threading.Event()
+        self._stop = False
+        self.n_requests = 0
+        self.n_batches = 0
+        self.n_batched_items = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def predict(self, image: np.ndarray, timeout: float = 120.0):
+        item = {"image": image, "done": threading.Event(),
+                "mask": None, "error": None}
+        with self._lock:
+            self._queue.append(item)
+            self.n_requests += 1
+        self._wake.set()
+        if not item["done"].wait(timeout):
+            raise TimeoutError("predict timed out")
+        if item["error"] is not None:
+            raise item["error"]
+        return item["mask"]
+
+    def shutdown(self):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=5)
+
+    def _run(self):
+        while not self._stop:
+            self._wake.wait()
+            if self._stop:
+                return
+            time.sleep(self.window_s)  # let concurrent arrivals pile up
+            with self._lock:
+                batch, self._queue = (self._queue[: self.max_batch],
+                                      self._queue[self.max_batch:])
+                if not self._queue:
+                    self._wake.clear()
+            if not batch:
+                continue
+            try:
+                masks = self.predictor.predict([b["image"] for b in batch])
+                for b, m in zip(batch, masks):
+                    b["mask"] = m
+            except Exception as e:  # fan the failure out to every waiter
+                for b in batch:
+                    b["error"] = e
+            self.n_batches += 1
+            self.n_batched_items += len(batch)
+            for b in batch:
+                b["done"].set()
+
+
+def _make_handler(batcher: MicroBatcher, state: dict):
+    from PIL import Image
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; /stats carries the counters
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                msg = b"ok" if state.get("warm") else b"warming"
+                self._send(200, msg, "text/plain")
+            elif self.path == "/stats":
+                occ = (batcher.n_batched_items / batcher.n_batches
+                       if batcher.n_batches else 0.0)
+                body = json.dumps({
+                    "requests": batcher.n_requests,
+                    "batches": batcher.n_batches,
+                    "mean_batch_occupancy": round(occ, 2),
+                }).encode()
+                self._send(200, body, "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                img = Image.open(io.BytesIO(self.rfile.read(n))).convert("RGB")
+                mask = batcher.predict(np.asarray(img, np.uint8))
+                out = io.BytesIO()
+                # foreground -> 255, like the reference's saved masks
+                # (ref: predict.py:81-91)
+                Image.fromarray((mask > 0).astype(np.uint8) * 255,
+                                mode="L").save(out, format="PNG")
+                state["warm"] = True
+                self._send(200, out.getvalue(), "image/png")
+            except Exception as e:
+                self._send(400, f"{type(e).__name__}: {e}".encode(),
+                           "text/plain")
+
+    return Handler
+
+
+def make_server(args, predictor=None) -> tuple:
+    """Build (ThreadingHTTPServer, MicroBatcher) — split out for tests."""
+    from egm_unet_tpu.serving import Predictor, PredictorConfig
+
+    cfg = PredictorConfig(model_name=args.model, base_c=args.base_c,
+                          num_classes=args.num_classes + 1,
+                          batch_size=args.batch_size,
+                          base_size=args.base_size, dtype=args.dtype,
+                          quant=args.quant)
+    if predictor is None:
+        if args.init_random:
+            import jax
+
+            from egm_unet_tpu.models import create_model
+
+            model = create_model(args.model, num_classes=args.num_classes + 1,
+                                 base_c=args.base_c)
+            variables = model.init(jax.random.key(0),
+                                   np.zeros((1, 64, 64, 3), np.float32),
+                                   train=False)
+            predictor = Predictor(dict(variables), cfg)
+        else:
+            predictor = Predictor.from_checkpoint(args.weights, cfg)
+    batcher = MicroBatcher(predictor, args.batch_size, args.batch_window_ms)
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                _make_handler(batcher, {"warm": False}))
+    return httpd, batcher
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    httpd, batcher = make_server(args)
+    print(f"serving {args.model} on http://{args.host}:{httpd.server_port} "
+          f"(batch {args.batch_size}, window {args.batch_window_ms} ms)",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.shutdown()
+        httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""HTTP serving front end (cli/serve.py): micro-batched Predictor behind a
+ThreadingHTTPServer.  Exercises the full wire path — PNG in, PNG {0,255}
+mask out at the original resolution — plus request coalescing (concurrent
+posts share one device batch) and the health/stats endpoints.  The
+reference's deployment story is per-image script loops (ref:
+predict.py:48-93); this is the beyond-reference serving layer."""
+
+import http.client
+import io
+import threading
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from egm_unet_tpu.cli.serve import make_server, parse_args  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def server():
+    args = parse_args([
+        "--init-random", "--model", "unet", "--base-c", "8",
+        "--base-size", "64", "--batch-size", "4",
+        "--batch-window-ms", "30", "--port", "0", "--dtype", "float32",
+    ])
+    httpd, batcher = make_server(args)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_port, batcher
+    httpd.shutdown()
+    batcher.shutdown()
+
+
+def _post_image(port, h=50, w=70, seed=0):
+    rng = np.random.default_rng(seed)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+        buf, format="PNG")
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", "/predict", body=buf.getvalue(),
+                 headers={"Content-Type": "image/png"})
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    return resp.status, resp.getheader("Content-Type"), body
+
+
+def test_predict_roundtrip(server):
+    port, _ = server
+    status, ctype, body = _post_image(port)
+    assert status == 200 and ctype == "image/png"
+    mask = np.asarray(Image.open(io.BytesIO(body)))
+    assert mask.shape == (50, 70)  # original resolution, not the bucket
+    assert set(np.unique(mask)) <= {0, 255}
+
+
+def test_concurrent_requests_coalesce(server):
+    port, batcher = server
+    before = batcher.n_batches
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = _post_image(port, h=40 + i, w=60, seed=i)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(r is not None and r[0] == 200 for r in results)
+    for i, (_, _, body) in enumerate(results):
+        assert np.asarray(Image.open(io.BytesIO(body))).shape == (40 + i, 60)
+    # 4 simultaneous posts within the 30 ms window should take far fewer
+    # than 4 dispatches (same 64-bucket -> typically 1)
+    assert batcher.n_batches - before < 4
+
+
+def test_health_and_stats(server):
+    port, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", "/healthz")
+    assert conn.getresponse().read() in (b"ok", b"warming")
+    conn.request("GET", "/stats")
+    import json
+
+    stats = json.loads(conn.getresponse().read())
+    assert stats["requests"] >= 5 and stats["batches"] >= 1
+    conn.close()
+
+
+def test_bad_request_is_400(server):
+    port, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/predict", body=b"not an image")
+    assert conn.getresponse().status == 400
+    conn.request("POST", "/nope", body=b"")
+    assert conn.getresponse().status == 404
+    conn.close()
