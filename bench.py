@@ -23,22 +23,34 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
 
 
-def _compiler_options():
+def _compiler_options(defaults: bool = True):
     """XLA compiler options for the timed programs (see
     egm_unet_tpu/utils/compile_opts.py: measured TPU defaults, overridable
     via ``EGM_COMPILER_OPTIONS="k=v,..."`` / disabled with ``=none``)."""
     from egm_unet_tpu.utils.compile_opts import tpu_compiler_options
 
-    return tpu_compiler_options()
+    return tpu_compiler_options(defaults=defaults)
 
 
 def _jit(fn):
+    # EGM-UNet programs only: the measured defaults were tuned on (and only
+    # pay for) the EGM inference graph.
     return jax.jit(fn, compiler_options=_compiler_options())
-import jax.numpy as jnp
-import numpy as np
-from jax import lax
+
+
+def _jit_plain(fn):
+    # Non-EGM / train programs compile with compiler defaults unless the
+    # caller sets EGM_COMPILER_OPTIONS explicitly.  Measured reasons
+    # (PERF.md round 3): the scoped-VMEM option SIGKILLs the remote compile
+    # helper on the big unrolled train chains (queue-6 logs), and it TAXES
+    # the other pillars — CLIPSeg 1232 vs 1357 img/s and Long-CLIP text
+    # 4831 vs 5009 prompts/s without it (queue-9 logs).
+    return jax.jit(fn, compiler_options=_compiler_options(defaults=False))
 
 
 def chained_forward(model, variables, x0, n_iters: int):
@@ -67,7 +79,7 @@ def chained_train(step_fn, n_iters: int):
     # NOTE: no buffer donation here — the two-point methodology re-invokes
     # the same program with the same state (donation would invalidate it);
     # cli/train.py (the real loop) donates.
-    @_jit
+    @_jit_plain
     def run(state, images, targets):
         def body(carry, _):
             new_state, aux = step_fn(carry, images, targets)
@@ -174,7 +186,7 @@ def bench_clipseg(args):
                 (bs, model.clip_cfg.embed_dim), dtype=np.float32), dtype)
 
             def chain(n_iters):
-                @_jit
+                @_jit_plain
                 def run(v, x0):
                     def step(carry, _):
                         out = apply_fn(v, carry, cond)
@@ -246,7 +258,7 @@ def bench_text(args):
         tokens = make_tokens(bs)
 
         def chain(n_iters):
-            @_jit
+            @_jit_plain
             def run(v, t0):
                 def step(carry, _):
                     out = model.apply(v, carry, method="encode_text")

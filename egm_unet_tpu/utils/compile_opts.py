@@ -7,11 +7,25 @@ runs/r03_master/xla_flags).  ``jax.jit(..., compiler_options=...)`` rides
 the PJRT compile request instead and reaches the compiler that owns the
 flags, so it is the one working channel for TPU compiler knobs here.
 
-Measured default (PERF.md round 3): ``xla_tpu_scoped_vmem_limit_kib=65536``
-lifts the EGM 512px bf16 headline 474.7 -> 513.5 img/s (+8.2%) by giving the
-fusion scheduler 4x the default scoped-VMEM budget, which deepens the
-conv+elementwise fusions that otherwise round-trip HBM.  98304 measured
-slightly worse (507.8); the default stays at 65536.
+Measured defaults (PERF.md round 3):
+  - ``xla_tpu_scoped_vmem_limit_kib=65536`` lifts the EGM 512px bf16
+    headline 474.7 -> 513.5 img/s (+8.2%) by giving the fusion scheduler 4x
+    the default scoped-VMEM budget, which deepens the conv+elementwise
+    fusions that otherwise round-trip HBM.  48M/80M/98M/128M all measured
+    worse; the budget stays at 65536.
+  - ``xla_tpu_rwb_fusion=false`` adds +1.3% (512.8 -> 519.5, reproduced
+    519.3) — disabling reduce-window/broadcast fusions stops the 2x2
+    max-pool windows from being re-fused into (and recomputed by) consumer
+    conv fusions.  The queue-8/9 single-knob and stacked sweeps show the
+    other accepted knobs (loop-fusion layout opt, licm inflation) add
+    nothing beyond run variance on top of these two.
+
+These defaults are **EGM-program-scoped**: they were tuned on the EGM
+inference graph and measured HARMFUL elsewhere — CLIPSeg 1232 vs 1357
+img/s and Long-CLIP text 4831 vs 5009 prompts/s with the scoped-VMEM
+option applied (queue-9 logs), and the unrolled train chains SIGKILL the
+remote compile helper with it.  Callers compiling non-EGM programs pass
+``defaults=False`` (bench.py ``_jit_plain``).
 
 Override with ``EGM_COMPILER_OPTIONS``:
   - ``EGM_COMPILER_OPTIONS=k=v,k2=v2`` replaces the default set entirely,
@@ -25,6 +39,7 @@ from typing import Dict, Optional
 
 MEASURED_DEFAULTS: Dict[str, str] = {
     "xla_tpu_scoped_vmem_limit_kib": "65536",
+    "xla_tpu_rwb_fusion": "false",
 }
 
 

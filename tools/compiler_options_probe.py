@@ -42,6 +42,21 @@ CANDIDATES = [
     {"xla_tpu_async_copy_bandwidth_scaling_factor": "1.5"},
     {"xla_tpu_memory_limit_slack_factor": "0.95"},
     {"xla_tpu_prefer_async_allocations": "true"},
+    # round-3 third wave: VMEM scavenging, copy/output fusion, MSA/loop
+    # optimizer knobs aimed at the bandwidth-bound stages
+    {"xla_tpu_scavenge_vmem_for_fusions": "true"},
+    {"xla_tpu_enable_copy_fusion": "true"},
+    {"xla_tpu_enable_experimental_exhaustive_output_fusion": "true"},
+    {"xla_tpu_aggressive_opt_barrier_removal": "true"},
+    {"xla_tpu_reduce_loop_fusion_dup_with_unfusable_user": "true"},
+    {"xla_tpu_allocate_scoped_vmem_at_same_offset": "false"},
+    {"xla_tpu_copy_with_multiple_strategies": "true"},
+    {"xla_tpu_memory_bound_loop_optimizer_options": "enabled:true"},
+    {"xla_tpu_use_repeated_instance_for_preferred_prefetch_time": "true"},
+    {"xla_tpu_sliced_prefetch": "true"},
+    {"xla_memory_scheduler": "list"},
+    {"xla_tpu_async_copy_bandwidth_scaling_factor": "2.0"},
+    {"xla_tpu_licm_size_inflation_ratio": "4.0"},
 ]
 
 
