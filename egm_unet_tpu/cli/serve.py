@@ -13,7 +13,8 @@ Endpoints:
                   original resolution (Content-Type: image/png)
   GET  /healthz   liveness ("ok" once the model has compiled its first
                   bucket; "warming" before)
-  GET  /stats     JSON counters (requests, batches, mean batch occupancy)
+  GET  /stats     JSON counters (requests, batches, mean batch occupancy,
+                  p50/p95/p99 request latency in ms)
 
 Run:  python -m egm_unet_tpu.cli.serve --weights save_weights --port 8000
 """
@@ -66,6 +67,9 @@ class MicroBatcher:
     all requests for the lifetime of the server.
     """
 
+    # ring-buffer size for request-latency percentiles (/stats)
+    LATENCY_WINDOW = 1024
+
     def __init__(self, predictor, max_batch: int, window_ms: float):
         self.predictor = predictor
         self.max_batch = max_batch
@@ -77,10 +81,12 @@ class MicroBatcher:
         self.n_requests = 0
         self.n_batches = 0
         self.n_batched_items = 0
+        self._latencies: List[float] = []  # seconds, last LATENCY_WINDOW
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def predict(self, image: np.ndarray, timeout: float = 120.0):
+        t0 = time.perf_counter()
         item = {"image": image, "done": threading.Event(),
                 "mask": None, "error": None}
         with self._lock:
@@ -89,9 +95,23 @@ class MicroBatcher:
         self._wake.set()
         if not item["done"].wait(timeout):
             raise TimeoutError("predict timed out")
+        with self._lock:
+            self._latencies.append(time.perf_counter() - t0)
+            if len(self._latencies) > self.LATENCY_WINDOW:
+                del self._latencies[: -self.LATENCY_WINDOW]
         if item["error"] is not None:
             raise item["error"]
         return item["mask"]
+
+    def latency_ms(self) -> dict:
+        """p50/p95/p99 enqueue-to-mask latency (ms) over the last window."""
+        with self._lock:
+            lat = sorted(self._latencies)
+        if not lat:
+            return {"p50": 0.0, "p95": 0.0, "p99": 0.0}
+        pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]  # noqa: E731
+        return {k: round(pick(q) * 1e3, 2)
+                for k, q in (("p50", 0.50), ("p95", 0.95), ("p99", 0.99))}
 
     def shutdown(self):
         self._stop = True
@@ -149,6 +169,7 @@ def _make_handler(batcher: MicroBatcher, state: dict):
                     "requests": batcher.n_requests,
                     "batches": batcher.n_batches,
                     "mean_batch_occupancy": round(occ, 2),
+                    "latency_ms": batcher.latency_ms(),
                 }).encode()
                 self._send(200, body, "application/json")
             else:

@@ -87,6 +87,8 @@ def test_health_and_stats(server):
 
     stats = json.loads(conn.getresponse().read())
     assert stats["requests"] >= 5 and stats["batches"] >= 1
+    lat = stats["latency_ms"]
+    assert lat["p50"] > 0 and lat["p50"] <= lat["p95"] <= lat["p99"]
     conn.close()
 
 
