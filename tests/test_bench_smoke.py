@@ -29,9 +29,13 @@ runpy.run_path({bench!r}, run_name='__main__')
 """
 
 
-def run_bench(argv, timeout=600):
+def run_bench(argv, timeout=600, n_virtual_devices=1):
     code = RUNNER.format(argv=argv, bench=os.path.join(REPO, "bench.py"))
     env = dict(os.environ, EGM_COMPILER_OPTIONS="none")
+    if n_virtual_devices > 1:
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count="
+                            f"{n_virtual_devices}")
     proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
                           text=True, timeout=timeout, cwd=REPO, env=env)
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -53,6 +57,18 @@ def test_mode_all_budget_zero_prints_headline_last():
     assert rec["unit"] == "images/s/chip"
     assert rec["value"] > 0
     assert rec["batch"] == 2
+
+
+def test_mode_inference_dp_mesh():
+    # the --mesh DP serving path: batch sharded over an 8-device mesh,
+    # params replicated, GSPMD partitioning the whole chained program
+    lines = run_bench(["--mode", "inference", "--mesh", "8", "--size", "64",
+                       "--batches", "8", "--n1", "1", "--n2", "2",
+                       "--repeats", "1"], n_virtual_devices=8)
+    assert any(ln.startswith("# dp mesh: 8 x cpu") for ln in lines), lines[:5]
+    rec = json.loads(lines[-1])
+    assert rec["metric"] == "egm_unet_64px_inference_throughput"
+    assert rec["value"] > 0
 
 
 def test_mode_train_metric_line():
