@@ -50,6 +50,12 @@ def parse_args(argv=None):
                         "host-side PIL transforms")
     p.add_argument("--eval-size", default=565, type=int)
     p.add_argument("--mesh-data", default=None, type=int)
+    p.add_argument("--mesh-spatial", default=1, type=int,
+                   help="shard the image HEIGHT axis N-way over a "
+                        "(data, spatial) mesh (parallel.get_mesh_sp) — "
+                        "GSPMD inserts the conv halo exchanges; the "
+                        "large-image mode for crops whose activations "
+                        "exceed one chip's HBM")
     p.add_argument("--save-dir", default="save_weights")
     p.add_argument("--results-file", default=None)
     p.add_argument("--seed", default=0, type=int)
@@ -169,8 +175,14 @@ def main(argv=None):
         state, start_epoch = restored["state"], int(restored["epoch"]) + 1
         print(f"resumed from epoch {restored['epoch']}")
 
-    mesh = get_mesh(n_data=args.mesh_data) if (args.mesh_data or 0) > 1 or \
-        (args.mesh_data is None and jax.device_count() > 1) else None
+    n_spatial = max(1, args.mesh_spatial or 1)
+    if n_spatial > 1:
+        from egm_unet_tpu.parallel import get_mesh_sp
+
+        mesh = get_mesh_sp(n_data=args.mesh_data, n_spatial=n_spatial)
+    else:
+        mesh = get_mesh(n_data=args.mesh_data) if (args.mesh_data or 0) > 1 or \
+            (args.mesh_data is None and jax.device_count() > 1) else None
     if mesh is not None:
         # replicate state onto the mesh (restored checkpoints land on one
         # device; jit under the mesh requires mesh-consistent placement)
@@ -229,6 +241,13 @@ def main(argv=None):
         if device_augment is None:
             im, tg = narrow_for_transfer(im, tg, dtype)
         if mesh:
+            if n_spatial > 1:
+                from egm_unet_tpu.parallel.mesh import (
+                    shard_batch_spatial, shard_superbatch_spatial)
+
+                if k_steps > 1:
+                    return shard_superbatch_spatial(mesh, im, tg)
+                return shard_batch_spatial(mesh, im, tg)
             if k_steps > 1:
                 from egm_unet_tpu.parallel.mesh import shard_superbatch
 

@@ -55,13 +55,26 @@ def max_pool2d(x: jax.Array, kernel=2, stride=None, padding=0,
                 out = tap if out is None else jnp.maximum(out, tap)
         return out
 
+    if ph or pw:
+        # Explicit pad instead of reduce_window padding — numerically
+        # identical (the -inf rows are the max identity), but required for
+        # spatial (H-axis) sharding correctness: when a -inf-padded
+        # reduce_window and a zero-padded conv share an input in one
+        # program, the GSPMD partitioner's halo materialization leaks the
+        # -inf padding into the conv's global edge rows (repro:
+        # tests/test_spatial_parallel.py::test_mca_pools_spatial_sharding;
+        # max(v)-min(v) alongside avg_pool(v) under a 4-way 'spatial' mesh
+        # returns inf at rows 0-1/H-2..H-1).  The separate pad op keeps the
+        # two windows' halo paths distinct.
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+                    constant_values=neg)
     return lax.reduce_window(
         x,
         neg,
         lax.max,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, sh, sw, 1),
-        padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
+        padding=((0, 0), (0, 0), (0, 0), (0, 0)),
     )
 
 
