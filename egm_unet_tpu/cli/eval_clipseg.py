@@ -129,19 +129,31 @@ def main(argv=None):
                                warmup_poly_schedule(0.02, 1, 1))
     if os.path.isdir(args.unet_weights):
         state = CheckpointManager(args.unet_weights).restore(state)["state"]
-    unet_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    # variables ride as jit ARGUMENTS, not closure constants: baked-in
+    # weights bloat the serialized program (the ViT tower alone is ~600 MB
+    # of constants — over the axon remote-compile request limit, HTTP 413)
+    # and defeat XLA constant-memory budgeting.
+    unet_vars = jax.device_put(
+        {"params": state.params, "batch_stats": state.batch_stats})
 
     @jax.jit
+    def _unet_apply(v, x):
+        return unet.apply(v, x, train=False)["out"]
+
     def unet_forward(x):
-        return unet.apply(unet_vars, x, train=False)["out"]
+        return _unet_apply(unet_vars, x)
 
     # --- CLIPSeg branch
     clipseg, clipseg_vars = build_clipseg(args)
+    clipseg_vars = jax.device_put(clipseg_vars)
 
     @jax.jit
-    def clipseg_forward(x, cond):
-        (logits,) = clipseg.apply(clipseg_vars, x, cond)
+    def _clipseg_apply(v, x, cond):
+        (logits,) = clipseg.apply(v, x, cond)
         return logits
+
+    def clipseg_forward(x, cond):
+        return _clipseg_apply(clipseg_vars, x, cond)
 
     # text conditioning: batched prompts, one forward each (vmap-free batched
     # image repeat is unnecessary — prompts share the image encoder pass in
@@ -150,8 +162,8 @@ def main(argv=None):
         if args.tiny_clip:
             raise FileNotFoundError  # random tower: tokens are meaningless
         tokens = jnp.asarray(tokenize(args.prompts, truncate=True))
-        cond = clipseg.apply(clipseg_vars, tokens,
-                             method=clipseg.compute_conditional)
+        cond = jax.jit(lambda v, t: clipseg.apply(
+            v, t, method=clipseg.compute_conditional))(clipseg_vars, tokens)
     except FileNotFoundError:
         print("WARNING: BPE vocab missing; using random prompt embeddings")
         cond = jax.random.normal(jax.random.key(1),

@@ -75,24 +75,35 @@ def main(argv=None):
                                warmup_poly_schedule(0.02, 1, 1))
     if os.path.isdir(args.unet_weights):
         state = CheckpointManager(args.unet_weights).restore(state)["state"]
-    unet_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    # variables as jit ARGUMENTS (not closure constants): baked weights
+    # overflow the axon remote-compile request (HTTP 413) on the ViT tower
+    unet_vars = jax.device_put(
+        {"params": state.params, "batch_stats": state.batch_stats})
 
     @jax.jit
+    def _unet_apply(v, x):
+        return unet.apply(v, x, train=False)["out"]
+
     def unet_forward(x):
-        return unet.apply(unet_vars, x, train=False)["out"]
+        return _unet_apply(unet_vars, x)
 
     clipseg, clipseg_vars = build_clipseg(args)
+    clipseg_vars = jax.device_put(clipseg_vars)
 
     @jax.jit
-    def clipseg_forward(x, cond):
-        (logits,) = clipseg.apply(clipseg_vars, x, cond)
+    def _clipseg_apply(v, x, cond):
+        (logits,) = clipseg.apply(v, x, cond)
         return logits
+
+    def clipseg_forward(x, cond):
+        return _clipseg_apply(clipseg_vars, x, cond)
 
     try:
         if args.tiny_clip:
             raise FileNotFoundError  # random tower: tokens are meaningless
         tokens = jnp.asarray(tokenize(args.prompts, truncate=True))
-        cond = clipseg.apply(clipseg_vars, tokens, method=clipseg.compute_conditional)
+        cond = jax.jit(lambda v, t: clipseg.apply(
+            v, t, method=clipseg.compute_conditional))(clipseg_vars, tokens)
     except FileNotFoundError:
         print("WARNING: BPE vocab missing; using random prompt embeddings")
         cond = jax.random.normal(jax.random.key(1),
