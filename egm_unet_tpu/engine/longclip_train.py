@@ -30,6 +30,13 @@ from flax.training import train_state
 
 def pca_reconstruct(x: jax.Array, dim: int) -> jax.Array:
     """SVD-based project-to-dim-and-back (ref: clip/model.py:519-536)."""
+    if x.shape[0] < 2:
+        # PCA over a single (per-shard) sample: the centered matrix is
+        # exactly zero, so the reconstruction is the identity — but SVD of
+        # a zero matrix has NaN gradients (the torch reference shares the
+        # hazard, clip/model.py:527).  Return the identical forward value
+        # with a well-defined gradient instead.
+        return x
     mean = jnp.mean(x, axis=0)
     xc = (x - mean[None]).astype(jnp.float32)
     _, _, vt = jnp.linalg.svd(xc, full_matrices=False)
@@ -168,9 +175,14 @@ def create_longclip_state(model, params, lr: float = 1e-6,
     the optimizer recipe follows upstream Long-CLIP's fine-tune (AdamW,
     low lr, cosine decay) with every knob exposed.
     """
+    # optax requires decay_steps > warmup_steps (the cosine tail must be
+    # non-empty); short smoke runs with total <= warmup would raise
+    # "positive decay_steps, got decay_steps=0" — clamp the warmup instead
+    # of failing (the schedule degrades to pure warmup + a 1-step tail).
+    warmup_steps = min(warmup_steps, max(0, total_steps - 1))
     sched = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
-        decay_steps=total_steps, end_value=lr * 1e-2)
+        decay_steps=max(total_steps, warmup_steps + 1), end_value=lr * 1e-2)
     # multi_transform (not bare optax.masked): frozen leaves must get a
     # set_to_zero update — masked alone would pass their raw gradients
     # through as parameter updates

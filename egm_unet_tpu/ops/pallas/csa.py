@@ -67,13 +67,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
-def csa_attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
-                  interpret: bool = False) -> jax.Array:
-    """q/k/v: [B, S, D] post-projection; returns [B, S, D].
-
-    Equivalent to ``multi_head_attention(..., csa=True)`` — asserted by
-    tests/test_pallas.py against the einsum path.
-    """
+def _csa_pallas(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
+                interpret: bool = False) -> jax.Array:
     b, s, d = q.shape
     hd = d // num_heads
     scale = hd**-0.5
@@ -124,3 +119,39 @@ def csa_attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     return (out.reshape(b, groups, s, pack * hd)
             .transpose(0, 2, 1, 3)
             .reshape(b, s, d))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def csa_attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
+                  interpret: bool = False) -> jax.Array:
+    """q/k/v: [B, S, D] post-projection; returns [B, S, D].
+
+    Equivalent to ``multi_head_attention(..., csa=True)`` — asserted by
+    tests/test_pallas.py against the einsum path.
+
+    Differentiable: the forward runs the fused Pallas kernel; the backward
+    is the VJP of the mathematically identical XLA einsum path (no
+    hand-written Mosaic backward to maintain, and XLA's fused softmax-grad
+    is already near roofline).  This keeps ``attn_impl='pallas'`` legal
+    inside training steps — the CLIPSeg decoder fine-tune differentiates
+    through the frozen CLIP tower's activations even with frozen weights.
+    """
+    return _csa_pallas(q, k, v, num_heads, interpret)
+
+
+def _csa_fwd(q, k, v, num_heads, interpret):
+    return _csa_pallas(q, k, v, num_heads, interpret), (q, k, v)
+
+
+def _csa_bwd(num_heads, interpret, residuals, g):
+    del interpret
+    from egm_unet_tpu.ops.attention import multi_head_attention
+
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv: multi_head_attention(qq, kk, vv, num_heads,
+                                                csa=True), q, k, v)
+    return vjp(g)
+
+
+csa_attention.defvjp(_csa_fwd, _csa_bwd)

@@ -165,3 +165,37 @@ def test_longclip_finetune_step_decreases_loss(rng):
                   - res_before).max() > 0
     # clamp applied after every step
     assert float(state.params["logit_scale"]) <= MAX_LOGIT_SCALE + 1e-6
+
+
+def test_schedule_clamps_warmup_to_total_steps():
+    """total_steps <= warmup_steps must not raise (optax requires a
+    non-empty cosine tail) — regression for the 200-step fine-tune proof,
+    which died with 'positive decay_steps, got decay_steps=0'."""
+    from egm_unet_tpu.models.clip.model import CLIP, CLIPConfig
+
+    cfg = CLIPConfig(embed_dim=8, image_resolution=32, vision_layers=1,
+                     vision_width=64, vision_patch_size=16, context_length=8,
+                     vocab_size=32, transformer_width=16, transformer_heads=2,
+                     transformer_layers=1, long_clip=True)
+    model = CLIP(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                        jnp.zeros((1, 8), jnp.int32))["params"]
+    state = create_longclip_state(model, params, lr=1e-3,
+                                  warmup_steps=200, total_steps=200)
+    # the clamped schedule still warms up and stays finite at every step
+    for t in (0, 100, 199, 200):
+        assert np.isfinite(float(state.lr_fn(t)))
+    assert float(state.lr_fn(0)) < float(state.lr_fn(150))
+
+
+def test_pca_single_sample_grad_finite(rng):
+    """Per-shard batch of 1: pca_reconstruct degrades to identity with a
+    well-defined gradient (SVD of the exactly-zero centered matrix has NaN
+    grads — regression for the NaN fine-tune at batch == device_count)."""
+    from egm_unet_tpu.engine.longclip_train import pca_reconstruct
+
+    x = jnp.asarray(rng.standard_normal((1, 16), dtype=np.float32))
+    val = pca_reconstruct(x, 8)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(x))
+    g = jax.grad(lambda t: jnp.sum(jnp.sin(pca_reconstruct(t, 8))))(x)
+    assert np.isfinite(np.asarray(g)).all()

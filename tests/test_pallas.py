@@ -25,6 +25,31 @@ def test_csa_kernel_matches_einsum(rng, b, s, d, h):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_csa_kernel_grad_matches_einsum(rng):
+    """csa_attention is differentiable (custom_vjp: Pallas forward, XLA
+    backward) — gradients wrt q/k/v match the einsum path.  Regression for
+    the CLIPSeg decoder fine-tune, which differentiates through the frozen
+    tower's activations ('Linearization failed' without the VJP)."""
+    import jax
+
+    b, s, d, h = 2, 13, 64, 4
+    q = jnp.asarray(rng.standard_normal((b, s, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, d), dtype=np.float32))
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(jnp.sin(csa_attention(q, k, v, h, interpret=True)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(multi_head_attention(q, k, v, h, csa=True)))
+
+    g_got = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_csa_kernel_bf16(rng):
     b, s, d, h = 1, 17, 64, 2
     q = jnp.asarray(rng.standard_normal((b, s, d), dtype=np.float32), jnp.bfloat16)
