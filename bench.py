@@ -358,12 +358,14 @@ def bench_inference(args, quant=None, batches=None, emit_json=True):
                 variables, NamedSharding(mesh, PartitionSpec()))
             print(f"# dp mesh: {args.mesh} x {devs[0].platform}", flush=True)
 
-    if quant == "int8":
+    if quant in ("int8", "int8df", "int8full"):
         # static activation scales: one calibration forward (full precision,
-        # abs-max sow per conv) so the serving graph quantizes with jit
-        # constants — the quantize then fuses into each producer and
-        # activations stream HBM at int8 (the dynamic per-input abs-max
-        # variant measured SLOWER than bf16: 367 vs 475 img/s)
+        # abs-max sow per conv + per qstore storage site) so the serving
+        # graph quantizes with jit constants — the quantize then fuses into
+        # each producer and activations stream HBM at int8 (the dynamic
+        # per-input abs-max variant measured SLOWER than bf16: 367 vs 475
+        # img/s).  'int8df' stores the inter-op tensors 8-bit (ops/quant.py
+        # requant_store); 'int8full' adds the int8 MXU convs on top.
         from egm_unet_tpu.ops.quant import calibrate_quant_scales
 
         xc = jnp.asarray(np.random.default_rng(7).standard_normal(
@@ -600,7 +602,7 @@ def main():
                    help="disable inference BN folding (measure the raw graph)")
     p.add_argument("--mode", default="all",
                    choices=["all", "inference", "train", "clipseg", "int8",
-                            "fusion", "text"],
+                            "int8df", "int8full", "fusion", "text"],
                    help="all (default): clipseg + int8 + bf16 EGM headline "
                         "(headline JSON printed LAST); train: full train-step "
                         "throughput (CE+dice+edge losses, SGD update, sync-BN) "
@@ -638,8 +640,8 @@ def main():
         return bench_train(args)
     if args.mode == "clipseg":
         return bench_clipseg(args)
-    if args.mode == "int8":
-        return bench_inference(args, quant="int8", batches="128")
+    if args.mode in ("int8", "int8df", "int8full"):
+        return bench_inference(args, quant=args.mode, batches=args.headline_batches)
     if args.mode == "fusion":
         return bench_fusion(args)
     if args.mode == "text":

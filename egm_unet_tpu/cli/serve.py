@@ -47,7 +47,8 @@ def parse_args(argv=None):
                         "after the first arrival before dispatching")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", default=8000, type=int)
-    p.add_argument("--quant", default=None, choices=[None, "int8"],
+    p.add_argument("--quant", default=None,
+                   choices=[None, "int8", "int8df", "int8full"],
                    help="serving-only quantization (off-parity; see bench.py "
                         "--mode int8 for the measured agreement stat)")
     p.add_argument("--dtype", default="bfloat16")

@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--print-freq", default=10, type=int)
     p.add_argument("--save-dir", default="save_weights_clipseg")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-n", default=0, type=int,
+                   help="synthetic: number of generated PhraseCut samples "
+                        "(default 2 batches); with --epochs > 1 the loop "
+                        "revisits them, so loss/fgIoU curves show learning")
     p.add_argument("--tiny-clip", action="store_true",
                    help="small random CLIP tower (CI smoke)")
     p.add_argument("--seed", default=0, type=int)
@@ -62,7 +66,8 @@ def main(argv=None):
     root = args.data_path
     if args.synthetic:
         root = os.path.join("/tmp", "synthetic_phrasecut")
-        make_synthetic_phrasecut(root, n=max(args.batch_size * 2, 8),
+        make_synthetic_phrasecut(root,
+                                 n=args.synthetic_n or max(args.batch_size * 2, 8),
                                  hw=(args.image_size, args.image_size))
 
     cfg = VIT_B16

@@ -106,9 +106,14 @@ class EGMUNet(nn.Module):
         def pool(v, tag):
             # $EGM_POOL_BARRIER=pool1,... materializes the pooled map instead
             # of letting the 2x2 max re-evaluate inside the consumer conv's
-            # window taps (per-site experiment switch, see nn.layers)
-            return site_barrier(self, max_pool2d(v), tag,
-                                env="EGM_POOL_BARRIER")
+            # window taps (per-site experiment switch, see nn.layers).
+            # qstore: in int8df serving the pooled map is stored 8-bit
+            # (max-pool of a quantized tensor takes values from the same
+            # grid, so the requantization is near-exact).
+            from egm_unet_tpu.ops.quant import qstore
+
+            return site_barrier(self, qstore(self, max_pool2d(v), tag),
+                                tag, env="EGM_POOL_BARRIER")
 
         x1 = DC(c, dtype=self.dtype, fold_bn=self.fold_bn, fine_remat=fine,
                 name="in_conv")(x, train)

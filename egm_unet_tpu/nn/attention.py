@@ -147,6 +147,13 @@ class MCALayer(nn.Module):
         else:
             x_out = (x_h + x_w) / 2.0
 
+        from egm_unet_tpu.ops.quant import qstore
+
+        # int8-dataflow storage site: x_out is read by five consumers
+        # (range/mean/variance pools, shuffle, combine) — storing it 8-bit
+        # halves all five reads (post-gate values are non-negative)
+        x_out = qstore(self, x_out, "xout")
+
         local_range = max_pool2d(x_out, 3, 1, 1) - min_pool2d(x_out, 3, 1, 1)
         mean = avg_pool2d(x_out, 3, 1, 1)
         local_variance = avg_pool2d((x_out - mean) ** 2, 3, 1, 1)
@@ -159,14 +166,17 @@ class MCALayer(nn.Module):
             + 0.1 * freq
             + 0.1 * shuffled
         )
-        if os.environ.get("EGM_MCA_BARRIER", "1") == "1":
+        stored = qstore(self, out, "out")
+        if stored is out and os.environ.get("EGM_MCA_BARRIER", "1") == "1":
             # materialize the 5-term combine: without the barrier XLA fuses
             # this expensive producer into the consumer conv's input and
             # recomputes it per 3x3 window tap (profiled: down1/down2 conv2
             # run 2-4x off roofline; barrier measured +2.4% end to end,
-            # bit-identical — PERF.md round 2)
-            out = jax.lax.optimization_barrier(out)
-        return out
+            # bit-identical — PERF.md round 2).  In int8df mode the qstore
+            # above already materializes the combine — as uint8, halving
+            # the consumer conv's tap-amplified reads.
+            stored = jax.lax.optimization_barrier(stored)
+        return stored
 
 
 class RecursiveGatedAttention(nn.Module):

@@ -79,7 +79,12 @@ class FusionConv(nn.Module):
 
         s = s * SpatialAttention(dtype=self.dtype, name="spatial")(s)
         c = ChannelAttention(dtype=self.dtype, name="channel")(x)
-        return Conv(self.features, 1, dtype=self.dtype, name="up")(res + s * c)
+        from egm_unet_tpu.ops.quant import qstore
+
+        return qstore(
+            self,
+            Conv(self.features, 1, dtype=self.dtype, name="up")(res + s * c),
+            "out", signed=True)
 
 
 class EdgeEnhancedGRFB(nn.Module):
@@ -116,13 +121,17 @@ class EdgeEnhancedGRFB(nn.Module):
 
         import os
 
+        from egm_unet_tpu.ops.quant import qstore
+
         xe = EdgeAwareFeatureEnhancer(dtype=self.dtype, fold_bn=self.fold_bn,
                                       name="edge_enhancer")(x, train)
-        if os.environ.get("EGM_MCA_BARRIER", "1") == "1":
+        stored = qstore(self, xe, "xe")  # int8df: 8-bit storage + barrier
+        if stored is xe and os.environ.get("EGM_MCA_BARRIER", "1") == "1":
             # materialize the sigmoid-gate chain once instead of per window
             # tap of the 3x3 ctx0 consumer (same pathology as the MCA
             # combine, nn/attention.py)
-            xe = jax.lax.optimization_barrier(xe)
+            stored = jax.lax.optimization_barrier(stored)
+        xe = stored
 
         def dir_branch(mdl, xin, tr):
             d = BC(2 * inter, 1, name="dir0")(xin, tr)
@@ -164,14 +173,19 @@ class EdgeEnhancedGRFB(nn.Module):
         short = BC(self.features, 1, stride=self.stride, relu=False,
                    name="shortcut")(identity, train)
         out = nn.relu(out * self.scale + short)
-        if os.environ.get("EGM_MCA_BARRIER", "1") == "1":
+        stored = qstore(self, out, "res")
+        if stored is out and os.environ.get("EGM_MCA_BARRIER", "1") == "1":
             # same: the scale-residual-relu tail otherwise recomputes inside
             # the 3x3 target_enhancer conv's window taps
-            out = jax.lax.optimization_barrier(out)
+            stored = jax.lax.optimization_barrier(stored)
+        out = stored
 
         tw = Conv(3, 3, padding=1, dtype=self.dtype, name="target_enhancer")(out)
         tw = nn.sigmoid(tw)
-        return out * (1.0 + jnp.mean(tw, axis=-1, keepdims=True))
+        # the stage output feeds both the encoder pool and the skip concat —
+        # the highest-traffic tensors in the graph
+        return qstore(self, out * (1.0 + jnp.mean(tw, axis=-1, keepdims=True)),
+                      "enh")
 
 
 class GRFB(nn.Module):
@@ -233,4 +247,6 @@ class GRFB(nn.Module):
         out = jnp.concatenate([x, b0, b1, b2], axis=-1)
         out = BC(self.features, 1, relu=False, name="conv_linear")(out, train)
         short = BC(self.features, 1, stride=s, relu=False, name="shortcut")(x, train)
-        return nn.relu(out * self.scale + short)
+        from egm_unet_tpu.ops.quant import qstore
+
+        return qstore(self, nn.relu(out * self.scale + short), "out")

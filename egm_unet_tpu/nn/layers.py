@@ -76,7 +76,7 @@ class Conv(nn.Module):
                      reduce_fn=jnp.maximum,
                      init_fn=lambda: jnp.asarray(0.0, jnp.float32))
             return conv(x)
-        if mode == "int8":
+        if mode in ("int8", "int8full"):
             # serving-only int8 path (ops/quant.py): same param tree — the
             # dummy call materializes the nn.Conv params, XLA removes it.
             # A calibrated static act_scale (quant_scales collection) lets
@@ -159,7 +159,11 @@ class BasicConv(nn.Module):
             x = BatchNorm(torch_momentum=0.01, dtype=self.dtype)(x, train)
         if self.relu:
             x = nn.relu(x)
-        return x
+        from egm_unet_tpu.ops.quant import qstore
+
+        # int8-dataflow storage site (ops/quant.py): post-ReLU outputs are
+        # non-negative -> uint8; linear outputs -> symmetric int8
+        return qstore(self, x, "out", signed=not self.relu)
 
 
 def maybe_conv3x3_gemm(conv: "Conv", x: jax.Array, features: int,
@@ -289,6 +293,27 @@ class ConvBNReLU(nn.Module):
                 # switch, like EGM_MCA_BARRIER; see PERF.md)
                 x1 = jax.lax.optimization_barrier(x1)
             x1 = pad_to_match(x1, x2)
+            if (self.fold_bn and not train
+                    and os.environ.get("EGM_UP_SPLIT", "0") == "1"):
+                # split-conv decoder: conv(cat([x2, x1]), W) ==
+                # conv(x2, W[:, :, :c2]) + conv(x1, W[:, :, c2:]) — the
+                # full-width concat tensor is never stored; the two partial
+                # convs read the (possibly int8-stored) operands directly
+                # and their accumulators add in one fusion.  Exact (same
+                # linear operator), measurement knob like EGM_UP_IMPL.
+                from egm_unet_tpu.ops.conv import conv2d
+                from egm_unet_tpu.ops.quant import qstore
+
+                cin = x2.shape[-1] + x1.shape[-1]
+                _ = conv(jnp.zeros((1, 3, 3, cin), x1.dtype))
+                p = conv.variables["params"]["Conv_0"]
+                k = p["kernel"].astype(x1.dtype)
+                c2 = x2.shape[-1]
+                y = (conv2d(x2, k[:, :, :c2], padding=1)
+                     + conv2d(x1, k[:, :, c2:], padding=1)
+                     + p["bias"].astype(x1.dtype))
+                return site_barrier(self, qstore(self, nn.relu(y), "out"),
+                                    "out")
             x = jnp.concatenate([x2, x1], axis=-1)
         if self.fold_bn and not train:
             y = maybe_conv3x3_gemm(conv, x, self.features, relu=True)
@@ -297,7 +322,9 @@ class ConvBNReLU(nn.Module):
         x = conv(x)
         if not self.fold_bn:
             x = BatchNorm(dtype=self.dtype)(x, train)
-        return site_barrier(self, nn.relu(x), "out")
+        from egm_unet_tpu.ops.quant import qstore
+
+        return site_barrier(self, qstore(self, nn.relu(x), "out"), "out")
 
 
 class DoubleConv(nn.Module):

@@ -19,6 +19,23 @@ claiming numerical equivalence.  The reference has no quantized path at all
 Activation: ``with ops.quant.quantized("int8"):`` around the *tracing* call
 (a contextvar, thread-safe — no process-global env mutation), or the
 ``$EGM_QUANT=int8`` env var for CLI use.
+
+Modes:
+
+- ``"int8"``   — int8 MXU convs, bf16 tensors *between* ops (measured -5%
+  vs bf16 on v5e: the model is activation-bandwidth-bound and the MXU time
+  int8 halves was not the bottleneck, PERF.md round 3).
+- ``"int8df"`` — int8 **dataflow**: every full-size stage tensor is stored
+  in HBM as int8/uint8 (``qstore`` sites: ConvBNReLU/BasicConv outputs, the
+  MCA combine, the EGRFB edge/residual/enhancer maps, the encoder pools).
+  ``requant_store`` quantizes at a calibrated static scale, forces the
+  8-bit tensor to be the materialized value with ``optimization_barrier``,
+  and dequantizes inline in each consumer's fusion — halving exactly the
+  window-tap-amplified HBM reads the profile blames for the gap to the
+  roofline floor.  Convs still run bf16 (MXU was never the bottleneck).
+- ``"int8full"`` — int8df storage + the int8 MXU convs on top.
+- ``"calibrate"`` — full-precision forward that records per-site abs-max
+  into the ``quant_stats`` collection (see calibrate_quant_scales).
 """
 
 from __future__ import annotations
@@ -49,6 +66,74 @@ def quantized(mode: str = "int8"):
         yield
     finally:
         _QUANT_MODE.reset(token)
+
+
+def requant_store(x: jax.Array, scale: jax.Array, signed: bool = False
+                  ) -> jax.Array:
+    """Quantize ``x`` to 8-bit storage at a static ``scale``, force the
+    8-bit tensor to be the materialized HBM value, and dequantize inline.
+
+    The ``optimization_barrier`` on the quantized tensor is the load-bearing
+    part: without it XLA tends to place the round/clip/convert chain inside
+    the *consumer* conv's operand fusion, which still reads the producer's
+    bf16 output from HBM per window tap (exactly what the plain ``int8``
+    mode measured, PERF.md round 3).  With the barrier, the producer fusion
+    roots at the 8-bit tensor — that is what gets stored — and every
+    consumer fuses the (elementwise, cheap) dequantize into its own reads.
+
+    Post-ReLU tensors use uint8 over [0, absmax] (one extra bit); signed
+    sites use symmetric int8.  Round-trip error is bounded by scale/2.
+    """
+    s = jnp.maximum(scale.astype(jnp.float32), 1e-12)
+    xf = x.astype(jnp.float32) / s
+    if signed:
+        q = jnp.clip(jnp.round(xf), -127, 127).astype(jnp.int8)
+    else:
+        q = jnp.clip(jnp.round(xf), 0, 255).astype(jnp.uint8)
+    q = jax.lax.optimization_barrier(q)
+    return (q.astype(jnp.float32) * s).astype(x.dtype)
+
+
+def qstore(module, x: jax.Array, name: str, signed: bool = False) -> jax.Array:
+    """Storage-quantization site hook, callable from any flax module.
+
+    - ``calibrate`` mode: sows this site's abs-max into ``quant_stats``
+      (leaf ``{name}_absmax`` for signed sites, ``{name}_absmaxu`` for
+      unsigned ones — calibrate_quant_scales turns either into
+      ``{name}_scale`` with the matching divisor).
+    - ``int8df`` / ``int8full`` mode with a calibrated ``{name}_scale``
+      present in the ``quant_scales`` collection: requant_store.
+    - otherwise: identity (returns ``x`` itself, so callers can detect an
+      inactive site with ``is``).
+    """
+    mode = current_quant_mode()
+    if mode == "calibrate":
+        leaf = f"{name}_absmax" if signed else f"{name}_absmaxu"
+        module.sow("quant_stats", leaf,
+                   jnp.max(jnp.abs(x.astype(jnp.float32))),
+                   reduce_fn=jnp.maximum,
+                   init_fn=lambda: jnp.asarray(0.0, jnp.float32))
+        return x
+    if mode in ("int8df", "int8full") and module.has_variable(
+            "quant_scales", f"{name}_scale"):
+        # $EGM_QSTORE_SITES selects which storage sites are active (comma
+        # list of substrings matched against '<module path>:<name>', or
+        # 'all').  Measured on v5e (PERF.md round 3): quantizing EVERY site
+        # inherits the barrier-all penalty — forcing materialization where
+        # XLA previously fused the producer away costs more than the 8-bit
+        # halving saves.  The paying sites are the ones that materialize
+        # anyway: the MCA combine / EGRFB gate chains (barriered by
+        # default) and the encoder pools.
+        import os
+
+        spec = os.environ.get("EGM_QSTORE_SITES", "all")
+        path = "/".join(module.scope.path) + ":" + name
+        if spec != "all" and not any(
+                s and s in path for s in spec.split(",")):
+            return x
+        s = module.get_variable("quant_scales", f"{name}_scale")
+        return requant_store(x, s, signed=signed)
+    return x
 
 
 def quantize_weight_per_channel(w: jax.Array):
@@ -127,8 +212,14 @@ def calibrate_quant_scales(model, variables, sample_batches, train: bool = False
         node = scales
         for key in path[:-1]:
             node = node.setdefault(key, {})
-        # path leaf is 'act_absmax'; store as 'act_scale'
-        node["act_scale"] = jnp.asarray(max(absmax, 1e-8) / 127.0, jnp.float32)
+        # leaf '<tag>_absmax' (signed int8) -> '<tag>_scale' at absmax/127;
+        # '<tag>_absmaxu' (unsigned uint8 qstore sites) -> absmax/255
+        leaf = path[-1]
+        if leaf.endswith("_absmaxu"):
+            key, div = leaf[: -len("_absmaxu")] + "_scale", 255.0
+        else:
+            key, div = leaf[: -len("_absmax")] + "_scale", 127.0
+        node[key] = jnp.asarray(max(absmax, 1e-8) / div, jnp.float32)
     return scales
 
 

@@ -84,7 +84,9 @@ def test_calibrated_static_scales():
     v = m.init(jax.random.key(0), x, False)
     scales = calibrate_quant_scales(m, v, [x], train=False)
     leaves = jax.tree_util.tree_leaves(scales)
-    assert len(leaves) == 2 and all(float(s) > 0 for s in leaves)
+    # 2 conv input scales (act_scale) + 2 qstore output-storage scales
+    # (out_scale, the int8df sites) per DoubleConv
+    assert len(leaves) == 4 and all(float(s) > 0 for s in leaves)
 
     ref = m.apply(v, x, False)
     with quantized("int8"):
