@@ -85,6 +85,30 @@ def test_int8df_full_egm_graph_mask_agreement():
     assert agree > 0.95, agree
 
 
+def test_qstore_site_selection(monkeypatch):
+    """$EGM_QSTORE_SITES restricts which storage sites quantize: with a
+    non-matching spec the int8df output is bit-identical to full precision;
+    with 'all' it differs (quantization applied)."""
+    from egm_unet_tpu.nn.layers import DoubleConv
+
+    m = DoubleConv(8, fold_bn=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 4)), jnp.float32)
+    v = m.init(jax.random.key(0), x, False)
+    scales = calibrate_quant_scales(m, v, [x], train=False)
+    ref = m.apply(v, x, False)
+
+    monkeypatch.setenv("EGM_QSTORE_SITES", "no-such-site")
+    with quantized("int8df"):
+        q_off = m.apply({**v, "quant_scales": scales}, x, False)
+    np.testing.assert_array_equal(np.asarray(q_off), np.asarray(ref))
+
+    monkeypatch.setenv("EGM_QSTORE_SITES", "all")
+    with quantized("int8df"):
+        q_on = m.apply({**v, "quant_scales": scales}, x, False)
+    assert float(jnp.max(jnp.abs(q_on - ref))) > 0.0
+
+
 def test_up_split_matches_concat(monkeypatch):
     """EGM_UP_SPLIT=1: conv(cat([x2, up2x(x1)])) computed as two partial
     convs with summed accumulators — the same linear operator, so outputs
