@@ -621,7 +621,7 @@ def main():
     p.add_argument("--verify-kernels", action="store_true",
                    help="before timing, run compiled Pallas kernels against "
                         "their XLA references on the live backend")
-    p.add_argument("--budget", type=float, default=2400.0,
+    p.add_argument("--budget", type=float, default=1500.0,
                    help="mode all: seconds allotted to the non-headline "
                         "pillars; once spent, remaining pillars are skipped "
                         "so the headline JSON (last line) always prints")
