@@ -39,6 +39,13 @@ def parse_args(argv=None):
                    help="fixed UNet device batch per shape bucket")
     p.add_argument("--tiny-clip", action="store_true",
                    help="small random CLIP tower (CI smoke; no checkpoints)")
+    p.add_argument("--timed-passes", default=1, type=int,
+                   help="run the dual-branch device compute N times and "
+                        "time each pass: pass 1 is cold (includes compiles), "
+                        "pass >=2 is the warm steady-state throughput the "
+                        "reference prints as FPS (ref: eval_CLIPseg.py:933-"
+                        "934).  Results come from the last pass (identical "
+                        "inputs -> identical outputs)")
     return p.parse_args(argv)
 
 
@@ -187,31 +194,46 @@ def main(argv=None):
                 (args.clip_size, args.clip_size), Image.BILINEAR)),
             IMAGENET_MEAN, IMAGENET_STD))
 
-    # ---- CLIPSeg branch: one compiled program, ceil(N*P / clip_batch)
-    # dispatches (vs the reference's per-image loop, eval_CLIPseg.py:875-882)
-    rep = np.repeat(np.stack(img352s), n_prompts, axis=0)  # img-major order
-    conds = np.tile(np.asarray(cond, np.float32), (n, 1))
-    cl_flat = run_in_chunks(clipseg_forward, (rep, conds), args.clip_batch)
-    # [N*P, S, S, 1] -> per-image [S, S, P]
-    cl_all = cl_flat[..., 0].reshape(
-        n, n_prompts, args.clip_size, args.clip_size).transpose(0, 2, 3, 1)
+    def run_branches():
+        # ---- CLIPSeg branch: one compiled program, ceil(N*P / clip_batch)
+        # dispatches (vs the reference's per-image loop,
+        # eval_CLIPseg.py:875-882)
+        rep = np.repeat(np.stack(img352s), n_prompts, axis=0)  # img-major
+        conds = np.tile(np.asarray(cond, np.float32), (n, 1))
+        cl_flat = run_in_chunks(clipseg_forward, (rep, conds), args.clip_batch)
+        # [N*P, S, S, 1] -> per-image [S, S, P]
+        cl = cl_flat[..., 0].reshape(
+            n, n_prompts, args.clip_size, args.clip_size).transpose(0, 2, 3, 1)
 
-    # ---- UNet branch: shape buckets x fixed batches (like serving.Predictor)
-    ul_list = [None] * n
-    buckets = {}
-    for i, im in enumerate(img565s):
-        buckets.setdefault(bucket_pad(im).shape[:2], []).append(i)
-    for (bh, bw), idxs in buckets.items():
-        for s in range(0, len(idxs), args.unet_batch):
-            chunk = idxs[s : s + args.unet_batch]
-            batch = np.zeros((args.unet_batch, bh, bw, 3), np.float32)
-            for row, i in enumerate(chunk):
-                im = img565s[i]
-                batch[row, : im.shape[0], : im.shape[1]] = im
-            out = np.asarray(unet_forward(jnp.asarray(batch)))
-            for row, i in enumerate(chunk):
-                h, w = img565s[i].shape[:2]
-                ul_list[i] = out[row, :h, :w]
+        # ---- UNet branch: shape buckets x fixed batches (like
+        # serving.Predictor)
+        ul = [None] * n
+        buckets = {}
+        for i, im in enumerate(img565s):
+            buckets.setdefault(bucket_pad(im).shape[:2], []).append(i)
+        for (bh, bw), idxs in buckets.items():
+            for s in range(0, len(idxs), args.unet_batch):
+                chunk = idxs[s : s + args.unet_batch]
+                batch = np.zeros((args.unet_batch, bh, bw, 3), np.float32)
+                for row, i in enumerate(chunk):
+                    im = img565s[i]
+                    batch[row, : im.shape[0], : im.shape[1]] = im
+                out = np.asarray(unet_forward(jnp.asarray(batch)))
+                for row, i in enumerate(chunk):
+                    h, w = img565s[i].shape[:2]
+                    ul[i] = out[row, :h, :w]
+        return cl, ul
+
+    # pass 1 is the cold session (compiles included); pass >= 2 times the
+    # warm dual-branch steady state (bench.py's fusion_eval_warm_throughput)
+    import time as _time
+
+    for pnum in range(max(1, args.timed_passes)):
+        t0 = _time.perf_counter()
+        cl_all, ul_list = run_branches()
+        dt = _time.perf_counter() - t0
+        print(f"# branch pass {pnum + 1}: {n / max(dt, 1e-9):.2f} img/s "
+              f"({dt:.2f}s for {n} images x {n_prompts} prompts)", flush=True)
 
     # ---- per-label-size groups: batched resize to the UNet grid (bilinear,
     # ref: eval_CLIPseg.py:885-888) then NEAREST both branches to label size

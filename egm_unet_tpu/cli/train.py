@@ -41,6 +41,16 @@ def parse_args(argv=None):
                         "to mirror the TP-928 train split)")
     p.add_argument("--synthetic-val-n", default=8, type=int,
                    help="synthetic val-set size (TP-928 val split: 52)")
+    p.add_argument("--no-aux-losses", action="store_true",
+                   help="train with plain CE only (drops the dice + laplace "
+                        "+ lap + sobel terms of the reference recipe, ref: "
+                        "train_utils/train_and_eval.py:7-19) — the "
+                        "deliberately-wrong control for the training proof")
+    p.add_argument("--synthetic-hard", action="store_true",
+                   help="distractor-laden discriminative generator (yellow "
+                        "lane lines/crosswalks, gray gratings, shadows, "
+                        "low-contrast paving) — the training-proof task "
+                        "where a wrong recipe visibly underperforms")
     p.add_argument("--val-batch-size", default=1, type=int,
                    help="eval batch (reference uses 1; synthetic val images "
                         "share a shape so larger batches are safe)")
@@ -57,6 +67,10 @@ def parse_args(argv=None):
                         "large-image mode for crops whose activations "
                         "exceed one chip's HBM")
     p.add_argument("--save-dir", default="save_weights")
+    p.add_argument("--save-every", default=100, type=int,
+                   help="periodic checkpoint cadence in epochs (best-dice "
+                        "saves are additional); 10 for restart-proof "
+                        "long runs (VERDICT r3 #4)")
     p.add_argument("--results-file", default=None)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--wire-uint8", action="store_true",
@@ -144,11 +158,15 @@ def main(argv=None):
 
     if args.synthetic:
         train_ds = SyntheticTPDataset(n=args.synthetic_n or args.batch_size * 4,
-                                      transforms=train_tf, cache=True)
+                                      transforms=train_tf, cache=True,
+                                      hard=args.synthetic_hard)
+        # val MUST be disjoint from train: a distinct seed offset (the r03
+        # proof's val was literally the first 52 train images)
         val_ds = SyntheticTPDataset(n=args.synthetic_val_n,
                                     transforms=EvalTransform(args.eval_size,
                                                              wire_uint8=args.wire_uint8),
-                                    cache=True)
+                                    cache=True, hard=args.synthetic_hard,
+                                    seed0=500_000)
     else:
         train_ds = DriveDataset(args.data_path, train_tf, "train.txt")
         val_ds = DriveDataset(args.data_path,
@@ -168,7 +186,8 @@ def main(argv=None):
                                (1, 64, 64, 3), sched,
                                momentum=args.momentum, weight_decay=args.weight_decay)
 
-    ckpt = CheckpointManager(os.path.abspath(args.save_dir), period=100)
+    ckpt = CheckpointManager(os.path.abspath(args.save_dir),
+                             period=args.save_every)
     start_epoch = args.start_epoch
     if args.resume:
         restored = CheckpointManager(os.path.abspath(args.resume)).restore(state)
@@ -207,6 +226,7 @@ def main(argv=None):
                          f"by --grad-accum {accum}")
     if k_steps > 1:
         train_step = jax.jit(make_train_multistep(num_classes=num_classes,
+                                                  dice=not args.no_aux_losses,
                                                   normalize=norm,
                                                   input_dtype=dtype,
                                                   accum=accum),
@@ -216,11 +236,13 @@ def main(argv=None):
 
         train_step = jax.jit(make_train_step_accum(accum,
                                                    num_classes=num_classes,
+                                                   dice=not args.no_aux_losses,
                                                    normalize=norm,
                                                    input_dtype=dtype),
                              donate_argnums=(0,))
     else:
         train_step = jax.jit(make_train_step(num_classes=num_classes,
+                                             dice=not args.no_aux_losses,
                                              normalize=norm,
                                              input_dtype=dtype),
                              donate_argnums=(0,))

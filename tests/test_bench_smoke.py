@@ -44,19 +44,24 @@ def run_bench(argv, timeout=600, n_virtual_devices=1):
     return lines
 
 
-def test_mode_all_budget_zero_prints_headline_last():
+def test_mode_all_budget_zero_prints_headline_first_and_last():
     lines = run_bench(["--mode", "all", "--budget", "0", "--size", "64",
                        "--headline-batches", "2", "--n1", "1", "--n2", "2",
                        "--repeats", "1"])
     # every non-headline pillar must announce it was skipped
     skipped = [ln for ln in lines if ln.startswith("# skipping")]
     assert {s.split()[2].rstrip(":") for s in skipped} == {
-        "text", "clipseg", "int8", "fusion"}
+        "text", "clipseg", "int8df", "fusion"}
+    # headline-FIRST (r03 postmortem): the first JSON line is already the
+    # headline, so a driver kill at any later point still has a record
+    first = json.loads(next(ln for ln in lines if ln.startswith("{")))
+    assert first["metric"] == "egm_unet_64px_inference_throughput"
     rec = json.loads(lines[-1])  # the driver parses the LAST line
     assert rec["metric"] == "egm_unet_64px_inference_throughput"
     assert rec["unit"] == "images/s/chip"
     assert rec["value"] > 0
     assert rec["batch"] == 2
+    assert "reemit" not in rec  # the final line is the clean record
 
 
 def test_mode_inference_dp_mesh():
