@@ -33,12 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-# Shipping int8df configuration (the validated selective-site config from the
-# round-4 campaign, runs/r04/int8df_best_sites.txt; see PERF.md).  Used as
-# the default for `--mode int8df` when $EGM_QSTORE_SITES is unset — the
-# all-sites default of ops/quant.qstore measured -7% (barrier-all penalty).
-SHIP_QSTORE_SITES = "mca:,egrfb:"
-SHIP_UP_SPLIT = "0"
 
 
 def _compiler_options(defaults: bool = True):
@@ -675,8 +669,9 @@ def main():
     if args.mode in ("int8df", "int8full"):
         # shipping selective-site default: the all-sites fallback of
         # ops/quant.qstore measured -7% on v5e (barrier-all penalty)
-        os.environ.setdefault("EGM_QSTORE_SITES", SHIP_QSTORE_SITES)
-        os.environ.setdefault("EGM_UP_SPLIT", SHIP_UP_SPLIT)
+        from egm_unet_tpu.ops.quant import apply_ship_sites_default
+
+        apply_ship_sites_default()
 
     if args.mode == "train":
         return bench_train(args)

@@ -242,6 +242,12 @@ def make_server(args, predictor=None) -> tuple:
     """Build (ThreadingHTTPServer, MicroBatcher) — split out for tests."""
     from egm_unet_tpu.serving import Predictor, PredictorConfig
 
+    if args.quant in ("int8df", "int8full"):
+        # default to the validated selective-site config (all-sites is -7%)
+        from egm_unet_tpu.ops.quant import apply_ship_sites_default
+
+        apply_ship_sites_default()
+
     cfg = PredictorConfig(model_name=args.model, base_c=args.base_c,
                           num_classes=args.num_classes + 1,
                           batch_size=args.batch_size,

@@ -52,6 +52,23 @@ from jax import lax
 _QUANT_MODE: contextvars.ContextVar[Optional[str]] = contextvars.ContextVar(
     "egm_quant_mode", default=None)
 
+# Shipping selective-site configuration for int8df serving (the validated
+# best from the round-4 campaign, runs/r04 logs / PERF.md round 4).  The
+# all-sites fallback of ``qstore`` measured -7% on v5e (barrier-all
+# penalty), so serving entry points default $EGM_QSTORE_SITES to this via
+# ``apply_ship_sites_default()`` instead.
+SHIP_QSTORE_SITES = "mca:,egrfb:"
+SHIP_UP_SPLIT = "0"
+
+
+def apply_ship_sites_default() -> None:
+    """Default the int8df env knobs to the shipping selective-site config.
+
+    Called by serving entry points (bench.py, cli/serve.py) before tracing
+    an int8df/int8full graph; explicit env settings always win."""
+    os.environ.setdefault("EGM_QSTORE_SITES", SHIP_QSTORE_SITES)
+    os.environ.setdefault("EGM_UP_SPLIT", SHIP_UP_SPLIT)
+
 
 def current_quant_mode() -> Optional[str]:
     """Active quantization mode at trace time: the ``quantized()`` context

@@ -126,3 +126,21 @@ def test_up_split_matches_concat(monkeypatch):
     split = m.apply(v, None, False, up_pair=(x2, x1))
     np.testing.assert_allclose(np.asarray(split), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_apply_ship_sites_default(monkeypatch):
+    """Serving entry points default $EGM_QSTORE_SITES to the validated
+    selective-site config (all-sites measured -7%); explicit env wins."""
+    from egm_unet_tpu.ops.quant import (SHIP_QSTORE_SITES, SHIP_UP_SPLIT,
+                                        apply_ship_sites_default)
+
+    monkeypatch.delenv("EGM_QSTORE_SITES", raising=False)
+    monkeypatch.delenv("EGM_UP_SPLIT", raising=False)
+    apply_ship_sites_default()
+    import os
+
+    assert os.environ["EGM_QSTORE_SITES"] == SHIP_QSTORE_SITES
+    assert os.environ["EGM_UP_SPLIT"] == SHIP_UP_SPLIT
+    monkeypatch.setenv("EGM_QSTORE_SITES", "custom:")
+    apply_ship_sites_default()
+    assert os.environ["EGM_QSTORE_SITES"] == "custom:"

@@ -48,14 +48,14 @@ epochs_done() {  # count eval blocks in a results file
 
 # ---- probe: does the hard task discriminate?
 log "probe: 6-epoch recipe run on hard synthetic"
-run_train 3000 "$OUT/probe_log.txt" "'--model', 'egm_unet', '--epochs', '6', '--lr', '0.02', '--save-dir', '$OUT/probe_ckpt', '--results-file', '$OUT/probe_results.txt'"
+run_train 3000 "$OUT/probe_log.txt" "'--model', 'egm_unet', '--epochs', '4', '--lr', '0.02', '--save-dir', '$OUT/probe_ckpt', '--results-file', '$OUT/probe_results.txt'"
 log "probe rc=$?"
 grep -A3 "^\[epoch:" "$OUT/probe_results.txt" 2>/dev/null | grep -E "epoch|dice" | head -12 | tee -a "$OUT/proof.log"
 
 # ---- main: 200-epoch restart-proof run
 MAIN="'--model', 'egm_unet', '--epochs', '200', '--lr', '0.02', '--save-every', '10', '--save-dir', '$OUT/main_ckpt', '--results-file', '$OUT/main_results.txt'"
-log "main: first invocation (deliberate kill after 1100s)"
-run_train 1100 "$OUT/main_log.txt" "$MAIN"
+log "main: first invocation (deliberate kill after 1500s)"
+run_train 1500 "$OUT/main_log.txt" "$MAIN"
 log "main first rc=$? (124/137 = the deliberate kill); epochs so far: $(epochs_done "$OUT/main_results.txt")"
 
 for attempt in 1 2 3 4 5; do
@@ -69,16 +69,16 @@ log "main finished with $(epochs_done "$OUT/main_results.txt") epochs"
 
 # ---- controls (48 epochs each)
 log "ctl_ce: CE-only control"
-run_train 4800 "$OUT/ctl_ce_log.txt" "'--model', 'egm_unet', '--epochs', '48', '--lr', '0.02', '--no-aux-losses', '--save-dir', '$OUT/ctl_ce_ckpt', '--results-file', '$OUT/ctl_ce_results.txt'"
+run_train 4800 "$OUT/ctl_ce_log.txt" "'--model', 'egm_unet', '--epochs', '40', '--lr', '0.02', '--no-aux-losses', '--save-dir', '$OUT/ctl_ce_ckpt', '--results-file', '$OUT/ctl_ce_results.txt'"
 log "ctl_ce rc=$?"
 
-log "ctl_lr: lr 0.2 control"
-run_train 4800 "$OUT/ctl_lr_log.txt" "'--model', 'egm_unet', '--epochs', '48', '--lr', '0.2', '--save-dir', '$OUT/ctl_lr_ckpt', '--results-file', '$OUT/ctl_lr_results.txt'"
-log "ctl_lr rc=$?"
-
 log "ctl_unet: vanilla UNet"
-run_train 4800 "$OUT/ctl_unet_log.txt" "'--model', 'unet', '--epochs', '48', '--lr', '0.02', '--save-dir', '$OUT/ctl_unet_ckpt', '--results-file', '$OUT/ctl_unet_results.txt'"
+run_train 4800 "$OUT/ctl_unet_log.txt" "'--model', 'unet', '--epochs', '40', '--lr', '0.02', '--save-dir', '$OUT/ctl_unet_ckpt', '--results-file', '$OUT/ctl_unet_results.txt'"
 log "ctl_unet rc=$?"
+
+log "ctl_lr: lr 0.2 control"
+run_train 4800 "$OUT/ctl_lr_log.txt" "'--model', 'egm_unet', '--epochs', '40', '--lr', '0.2', '--save-dir', '$OUT/ctl_lr_ckpt', '--results-file', '$OUT/ctl_lr_results.txt'"
+log "ctl_lr rc=$?"
 
 # ---- curve artifacts
 for tag in main ctl_ce ctl_lr ctl_unet; do

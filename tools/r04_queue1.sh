@@ -41,7 +41,7 @@ val() { grep -h '"value"' "$1" 2>/dev/null | sed 's/.*"value": \([0-9.]*\).*/\1/
 run_cfg() {  # run_cfg <tag> <sites> [SPLIT]
   local tag=$1 sites=$2 split=${3:-0}
   log "int8df tag=$tag sites='$sites' split=$split"
-  EGM_QSTORE_SITES="$sites" EGM_UP_SPLIT="$split" timeout 1200 \
+  EGM_QSTORE_SITES="$sites" EGM_UP_SPLIT="$split" timeout 2100 \
       python -u bench.py --mode int8df --headline-batches 128 --no-agreement \
       > "$OUT/int8df_${tag}.log" 2>&1
   log "tag=$tag rc=$? value=$(val "$OUT/int8df_${tag}.log")"
@@ -53,14 +53,13 @@ BASE="mca:,egrfb:"
 DEC="up1/,up2/,up3/,up4/"
 ENC="down1/conv,down2/conv,down3/conv,down4/conv"
 
-run_cfg base      "$BASE"
 run_cfg pools     "$BASE,:pool"
 run_cfg dec       "$BASE,$DEC"
 run_cfg dec_split "$BASE,$DEC" 1
 run_cfg enc       "$BASE,$ENC"
 run_cfg fusion    "$BASE,fusion:out"
 
-BV=$(val "$OUT/int8df_base.log"); BV=${BV:-0}
+BV=$(val "$OUT/int8df_base.log"); BV=${BV:-532.0}
 log "base=$BV; composing union of winners"
 UNION="$BASE"; SPLIT=0
 beats() { python -c "import sys; sys.exit(0 if float('${1:-0}') > float('$BV') else 1)"; }
@@ -95,7 +94,7 @@ for t in pools dec dec_split enc fusion union; do
   fi
 done
 log "best: $best_tag $best_v img/s sites='$best_sites' split=$best_split; agreement run"
-EGM_QSTORE_SITES="$best_sites" EGM_UP_SPLIT="$best_split" timeout 1500 \
+EGM_QSTORE_SITES="$best_sites" EGM_UP_SPLIT="$best_split" timeout 2400 \
     python -u bench.py --mode int8df --headline-batches 128 \
     > "$OUT/int8df_best_agree.log" 2>&1
 log "agreement rc=$?"
