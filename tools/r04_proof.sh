@@ -1,9 +1,9 @@
 #!/bin/bash
 # Round-4 training proof (VERDICT r3 "Next round" #3 + #4):
 #
-#   probe    : 6-epoch recipe run on the HARD synthetic task — sanity-check
-#              that the task discriminates (first-epoch dice well below the
-#              easy task's 0.991) before committing hours to the full runs.
+#   (probe dropped: the CPU smoke showed epoch-1 dice 0.28 on the hard
+#    task vs 0.991 on the easy one; main's first eval blocks give the
+#    full-scale check within minutes of launch.)
 #   main     : the reference recipe (EGM A+B+C, bs8 480^2 crops, 200 epochs,
 #              SGD lr .02 warmup-poly, CE[1,2]+dice+edge losses — ref:
 #              train.py:115-118,135-164) on hard synthetic 876/52 (val split
@@ -45,12 +45,6 @@ main([$COMMON, $*])
 epochs_done() {  # count eval blocks in a results file
   grep -c "^\[epoch:" "$1" 2>/dev/null || echo 0
 }
-
-# ---- probe: does the hard task discriminate?
-log "probe: 6-epoch recipe run on hard synthetic"
-run_train 3000 "$OUT/probe_log.txt" "'--model', 'egm_unet', '--epochs', '4', '--lr', '0.02', '--save-dir', '$OUT/probe_ckpt', '--results-file', '$OUT/probe_results.txt'"
-log "probe rc=$?"
-grep -A3 "^\[epoch:" "$OUT/probe_results.txt" 2>/dev/null | grep -E "epoch|dice" | head -12 | tee -a "$OUT/proof.log"
 
 # ---- main: 200-epoch restart-proof run
 MAIN="'--model', 'egm_unet', '--epochs', '200', '--lr', '0.02', '--save-every', '10', '--save-dir', '$OUT/main_ckpt', '--results-file', '$OUT/main_results.txt'"
