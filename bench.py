@@ -646,7 +646,7 @@ def main():
     p.add_argument("--verify-kernels", action="store_true",
                    help="before timing, run compiled Pallas kernels against "
                         "their XLA references on the live backend")
-    p.add_argument("--budget", type=float, default=900.0,
+    p.add_argument("--budget", type=float, default=1100.0,
                    help="mode all: seconds allotted to the non-headline "
                         "pillars AFTER the headline has printed; each pillar "
                         "runs in a subprocess with a hard deadline, so a "
@@ -729,10 +729,10 @@ def mode_all(args):
         ("text", ["--mode", "text", "--batches",
                   "2" if smoke else "64,256"], 420.0, None),
         ("clipseg", ["--mode", "clipseg", "--attn-impls", "pallas",
-                     "--batches", "2" if smoke else "16,64"], 420.0, None),
+                     "--batches", "2" if smoke else "16,64"], 480.0, None),
         ("int8df", ["--mode", "int8df", "--headline-batches",
-                    args.headline_batches], 700.0, "int8df"),
-        ("fusion", ["--mode", "fusion"], 700.0, None),
+                    args.headline_batches], 800.0, "int8df"),
+        ("fusion", ["--mode", "fusion"], 900.0, None),
     ]
     int8df_rec = None
     for name, argv, cap, want in pillars:
