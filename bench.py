@@ -680,7 +680,10 @@ def main():
     if args.mode in ("int8", "int8df", "int8full"):
         return bench_inference(args, quant=args.mode, batches=args.headline_batches)
     if args.mode == "fusion":
-        return bench_fusion(args)
+        # the grandchild eval process must die BEFORE any outer kill of this
+        # process, or it would keep holding the TPU: budget bounds the inner
+        # subprocess timeout (mode_all passes deadline-30s here)
+        return bench_fusion(args, timeout_s=int(min(args.budget, 1500)))
     if args.mode == "text":
         return bench_text(args)
     if args.mode == "inference":
@@ -741,11 +744,14 @@ def mode_all(args):
             print(f"# skipping {name}: {left:.0f}s left of --budget "
                   f"{args.budget}s (headline already recorded)", flush=True)
             continue
+        deadline = min(cap, left)
         cmd = [sys.executable, bench_path] + argv + common
         if name == "clipseg":  # 352 is the CLIPSeg contract size
             cmd[cmd.index("--size") + 1] = str(min(args.size, 352))
+        if name == "fusion":  # inner eval-subprocess timeout < our kill
+            cmd += ["--budget", str(int(max(deadline - 30, 60)))]
         try:
-            proc = subprocess.run(cmd, timeout=min(cap, left),
+            proc = subprocess.run(cmd, timeout=deadline,
                                   capture_output=True, text=True)
             out = proc.stdout or ""
             for ln in out.splitlines():
