@@ -672,6 +672,8 @@ def main():
         from egm_unet_tpu.ops.quant import apply_ship_sites_default
 
         apply_ship_sites_default()
+        print(f"# int8df sites={os.environ['EGM_QSTORE_SITES']} "
+              f"up_split={os.environ['EGM_UP_SPLIT']}", flush=True)
 
     if args.mode == "train":
         return bench_train(args)

@@ -27,6 +27,12 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 log() { echo "[proof] $(date -u +%H:%M:%S) $*" | tee -a "$OUT/proof.log"; }
 
+# serialize behind queue 2 (single chip): wait up to 3h for Q2_DONE
+for i in $(seq 1 360); do
+  [ -f /root/repo/runs/r04/Q2_DONE ] && break
+  sleep 30
+done
+
 COMMON="'--synthetic', '--synthetic-hard', '--synthetic-n', '876',
         '--synthetic-val-n', '52', '--synthetic-size', '480',
         '--eval-size', '565', '--val-batch-size', '4',

@@ -16,11 +16,14 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 log() { echo "[q2] $(date -u +%H:%M:%S) $*" | tee -a "$OUT/queue2.log"; }
 
+# gate: the builder updates SHIP_QSTORE_SITES from q1's winner, then
+# touches SHIP_UPDATED; fall back to Q1_DONE after 2h so the queue can
+# never deadlock
 for i in $(seq 1 240); do
-  [ -f "$OUT/Q1_DONE" ] && break
+  [ -f "$OUT/SHIP_UPDATED" ] && break
   sleep 30
 done
-[ -f "$OUT/Q1_DONE" ] || { log "q1 never finished; proceeding anyway"; }
+[ -f "$OUT/SHIP_UPDATED" ] || log "no SHIP_UPDATED marker; proceeding"
 
 log "1/1 mode-all driver-contract validation (bare env, default budget)"
 t0=$(date +%s)
