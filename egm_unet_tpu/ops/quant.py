@@ -52,12 +52,16 @@ from jax import lax
 _QUANT_MODE: contextvars.ContextVar[Optional[str]] = contextvars.ContextVar(
     "egm_quant_mode", default=None)
 
-# Shipping selective-site configuration for int8df serving (the validated
-# best from the round-4 campaign, runs/r04 logs / PERF.md round 4).  The
-# all-sites fallback of ``qstore`` measured -7% on v5e (barrier-all
-# penalty), so serving entry points default $EGM_QSTORE_SITES to this via
-# ``apply_ship_sites_default()`` instead.
-SHIP_QSTORE_SITES = "mca:,egrfb:"
+# Shipping selective-site configuration for int8df serving — the measured
+# best of the round-4 campaign (runs/r04/int8df_*.log, PERF.md round 4):
+#   base (mca:,egrfb:)  532.0 img/s     +pools  533.1  <- ship
+#   +decoder sites      520.1           +decoder+UP_SPLIT  438.1
+#   +encoder conv outs  493.9           (bf16 headline: 519.2)
+# Only sites that ALREADY materialize (the barriered MCA/EGRFB chains, the
+# encoder pools) pay; forcing new materializations inherits the barrier-all
+# penalty (all-sites measured -7%).  Serving entry points default
+# $EGM_QSTORE_SITES to this via ``apply_ship_sites_default()``.
+SHIP_QSTORE_SITES = "mca:,egrfb:,:pool"
 SHIP_UP_SPLIT = "0"
 
 
