@@ -27,8 +27,10 @@ done
 
 log "1/1 mode-all driver-contract validation (bare env, default budget)"
 t0=$(date +%s)
-timeout 1750 env -i PATH="$PATH" HOME="$HOME" PYTHONPATH=/root/repo:/root/.axon_site \
-    python -u bench.py --verify-kernels > "$OUT/mode_all_validation.log" 2>&1
+# NOTE: env -i loses the axon TPU plugin discovery (falls back to CPU,
+# runs/r04/mode_all_validation.log rc=1) — the driver runs with a full
+# profile env, so validate with the normal env
+timeout 1750 python -u bench.py --verify-kernels > "$OUT/mode_all_validation.log" 2>&1
 rc=$?
 log "mode-all rc=$rc wall=$(( $(date +%s) - t0 ))s"
 grep -E '^\{' "$OUT/mode_all_validation.log" | tail -3 | tee -a "$OUT/queue2.log"
