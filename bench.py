@@ -718,9 +718,12 @@ def mode_all(args):
     import subprocess
     import sys
 
-    t0 = time.perf_counter()
     headline = bench_inference(args, batches=args.headline_batches)
     best = dict(headline)
+    # the pillar budget clock starts AFTER the headline (r04 validation run:
+    # a contended 14-min headline otherwise ate the whole budget and every
+    # pillar was skipped — runs/r04/mode_all_validation2.log)
+    t0 = time.perf_counter()
 
     def reemit():
         print(json.dumps({**best, "reemit": True}), flush=True)
