@@ -1,21 +1,24 @@
 #!/bin/bash
-# Round-4 proof finisher (replaces the tail of tools/r04_proof.sh).
+# Round-4 proof finisher v2 (replaces the tail of tools/r04_proof.sh).
 #
-# The original runner's 3x40-epoch controls (~2h + compiles) would overrun
-# the round window and leave the chip busy when the driver benches.  This
-# finisher completes the SAME plan under a hard deadline:
-#   - wait for the in-flight main invocation (PID arg) to exit
-#     (the 10000s timeout kill at ~epoch 160 doubles as a second
-#     unplanned kill/resume demonstration),
-#   - resume main until 200 epochs (VERDICT r3 next #4),
-#   - controls at reduced epochs (the discriminative window on the hard
-#     task is epochs 0-15; main's curve plateaus ~0.99 by epoch 10):
-#       ctl_unet 25 ep  (UNet-vs-EGM comparison),
-#       ctl_ce   25 ep  (wrong recipe #1: CE only, no dice/edge losses),
-#       ctl_lr   10 ep  (wrong recipe #2: lr 10x, bonus if time),
+# v1's control-time reservation (mto = left-4200) would have killed the
+# main resume at ~epoch 182 and burned two more 10-min recompile cycles
+# advancing nothing (each kill/resume costs ~10-12 min of train+eval
+# recompiles; measured pace ~62 s/epoch incl. per-epoch eval).  v2:
+#   - wait for the in-flight main invocation (PID arg) to exit (its
+#     runner-inherited 10000s timeout kill at ~epoch 144 doubles as a
+#     second, unplanned kill/resume demonstration),
+#   - ONE long main resume sized to complete all 200 epochs (VERDICT r3
+#     next #4), reserving 45 min for the controls,
+#   - controls in guaranteed-value order at reduced epochs (the
+#     discriminative window on the hard task is epochs 0-15):
+#       ctl_unet 18 ep  (UNet-vs-EGM comparison — the required ablation),
+#       ctl_lr    8 ep  (wrong recipe: lr 10x — same program shape as main,
+#                        so the disk compile cache can shorten its startup),
+#       ctl_ce   12 ep  (wrong recipe: CE only, no dice/edge — bonus),
 #   - curve artifacts, DONE marker.
-# Every stage is guarded by an absolute deadline (chip must be free before
-# the driver's end-of-round bench).
+# Hard deadline 19:35 UTC: the chip must be free before the driver's
+# end-of-round bench.
 set -u
 OUT=${1:-/root/repo/runs/r04_proof}
 WAIT_PID=${2:-21646}
@@ -46,17 +49,15 @@ main([$COMMON, $*])
 while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
 log "in-flight main exited; epochs: $(epochs_done "$OUT/main_results.txt")"
 
-# ---- 2. resume main to 200 epochs, reserving ~4200s for the controls
+# ---- 2. ONE long main resume to 200 epochs (reserve ~2700s for controls)
 MAIN="'--model', 'egm_unet', '--epochs', '200', '--lr', '0.02', '--save-every', '10', '--save-dir', '$OUT/main_ckpt', '--results-file', '$OUT/main_results.txt'"
-for attempt in 2 3 4; do
-  n=$(epochs_done "$OUT/main_results.txt")
-  [ "$n" -ge 200 ] && break
-  if [ "$(left)" -lt 2000 ]; then log "skip main resume: $(left)s left"; break; fi
-  mto=$(( $(left) - 4200 )); [ "$mto" -lt 600 ] && mto=600
-  log "main resume attempt $attempt from $n epochs (timeout ${mto}s)"
+n=$(epochs_done "$OUT/main_results.txt")
+if [ "$n" -lt 200 ] && [ "$(left)" -gt 1800 ]; then
+  mto=$(( $(left) - 2700 )); [ "$mto" -lt 600 ] && mto=600
+  log "main final resume from $n epochs (timeout ${mto}s)"
   run_train "$mto" "$OUT/main_log.txt" "$MAIN, '--resume', '$OUT/main_ckpt'"
-  log "main resume rc=$?; epochs: $(epochs_done "$OUT/main_results.txt")"
-done
+  log "main final resume rc=$?; epochs: $(epochs_done "$OUT/main_results.txt")"
+fi
 log "main finished with $(epochs_done "$OUT/main_results.txt") epochs"
 
 # ---- 3. controls (deadline-guarded; each killed at the deadline at worst)
@@ -67,9 +68,9 @@ ctl() {  # ctl <name> <need_s> <python-list items...>
   run_train "$(left)" "$OUT/${name}_log.txt" "$@"
   log "$name rc=$?; epochs: $(epochs_done "$OUT/${name}_results.txt")"
 }
-ctl ctl_unet 1500 "'--model', 'unet', '--epochs', '25', '--lr', '0.02', '--save-dir', '$OUT/ctl_unet_ckpt', '--results-file', '$OUT/ctl_unet_results.txt'"
-ctl ctl_ce 1500 "'--model', 'egm_unet', '--epochs', '25', '--lr', '0.02', '--no-aux-losses', '--save-dir', '$OUT/ctl_ce_ckpt', '--results-file', '$OUT/ctl_ce_results.txt'"
-ctl ctl_lr 900 "'--model', 'egm_unet', '--epochs', '10', '--lr', '0.2', '--save-dir', '$OUT/ctl_lr_ckpt', '--results-file', '$OUT/ctl_lr_results.txt'"
+ctl ctl_unet 1100 "'--model', 'unet', '--epochs', '18', '--lr', '0.02', '--save-dir', '$OUT/ctl_unet_ckpt', '--results-file', '$OUT/ctl_unet_results.txt'"
+ctl ctl_lr 700 "'--model', 'egm_unet', '--epochs', '8', '--lr', '0.2', '--save-dir', '$OUT/ctl_lr_ckpt', '--results-file', '$OUT/ctl_lr_results.txt'"
+ctl ctl_ce 800 "'--model', 'egm_unet', '--epochs', '12', '--lr', '0.02', '--no-aux-losses', '--save-dir', '$OUT/ctl_ce_ckpt', '--results-file', '$OUT/ctl_ce_results.txt'"
 
 # ---- 4. curve artifacts
 for tag in main ctl_ce ctl_lr ctl_unet; do
