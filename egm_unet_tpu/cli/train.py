@@ -10,6 +10,7 @@ data-parallel width; defaults to all local devices).
 from __future__ import annotations
 
 import argparse
+import gc
 import os
 import time
 
@@ -345,6 +346,12 @@ def main(argv=None):
                 ckpt.maybe_save(epoch, args.epochs, state,
                                 extra={"args": vars(args)})
             best_dice = max(best_dice, dice_val)
+            # Host-RSS hygiene: on the tunneled axon backend the per-dispatch
+            # transfer staging grows ~0.9 GB/epoch if left to cycle-delayed
+            # collection (a 145-epoch run hit 130 GB and was OOM-killed,
+            # runs/r04_proof — the kill/resume machinery absorbed it, but
+            # collect per epoch so it doesn't happen at all).
+            gc.collect()
 
         total = time.time() - t_start
         print(f"training time {total / 3600:.2f}h; best dice {best_dice:.3f}")
