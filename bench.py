@@ -646,7 +646,7 @@ def main():
     p.add_argument("--verify-kernels", action="store_true",
                    help="before timing, run compiled Pallas kernels against "
                         "their XLA references on the live backend")
-    p.add_argument("--budget", type=float, default=1350.0,
+    p.add_argument("--budget", type=float, default=950.0,
                    help="mode all: seconds allotted to the non-headline "
                         "pillars AFTER the headline has printed; each pillar "
                         "runs in a subprocess with a hard deadline, so a "
