@@ -18,4 +18,10 @@ behavioral parity can be audited; no reference code is copied.
 
 __version__ = "0.1.0"
 
+from egm_unet_tpu.utils.cache import enable_persistent_cache  # noqa: F401
+
+# Persistent compile cache for every CLI / test / bench process (jax 0.9.0
+# ignores JAX_COMPILATION_CACHE_DIR; see utils/cache.py for the root cause).
+enable_persistent_cache()
+
 from egm_unet_tpu import losses, metrics  # noqa: F401

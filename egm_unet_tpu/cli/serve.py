@@ -112,6 +112,16 @@ class MicroBatcher:
             raise item["error"]
         return item["mask"]
 
+    def stats(self) -> dict:
+        """Consistent snapshot of the four counters (ADVICE r4: reading them
+        unlocked could pair a new time sum with a stale count)."""
+        with self._lock:
+            return {"n_requests": self.n_requests,
+                    "n_batches": self.n_batches,
+                    "n_batched_items": self.n_batched_items,
+                    "queue_time_s": self.queue_time_s,
+                    "device_time_s": self.device_time_s}
+
     def latency_ms(self) -> dict:
         """p50/p95/p99 enqueue-to-mask latency (ms) over the last window."""
         with self._lock:
@@ -172,8 +182,8 @@ class MicroBatcher:
                 self._prev_occupancy = len(batch)
                 self.queue_time_s += sum(t_disp - b["t_enq"] for b in batch)
                 self.device_time_s += t_done - t_disp
-            self.n_batches += 1
-            self.n_batched_items += len(batch)
+                self.n_batches += 1
+                self.n_batched_items += len(batch)
             for b in batch:
                 b["done"].set()
 
@@ -197,19 +207,20 @@ def _make_handler(batcher: MicroBatcher, state: dict):
                 msg = b"ok" if state.get("warm") else b"warming"
                 self._send(200, msg, "text/plain")
             elif self.path == "/stats":
-                occ = (batcher.n_batched_items / batcher.n_batches
-                       if batcher.n_batches else 0.0)
-                nb = max(batcher.n_batched_items, 1)
+                s = batcher.stats()
+                occ = (s["n_batched_items"] / s["n_batches"]
+                       if s["n_batches"] else 0.0)
+                nb = max(s["n_batched_items"], 1)
                 body = json.dumps({
-                    "requests": batcher.n_requests,
-                    "batches": batcher.n_batches,
+                    "requests": s["n_requests"],
+                    "batches": s["n_batches"],
                     "mean_batch_occupancy": round(occ, 2),
                     "latency_ms": batcher.latency_ms(),
                     # where a request's time goes: waiting in the batcher
                     # queue vs executing on the device
-                    "mean_queue_ms": round(batcher.queue_time_s / nb * 1e3, 2),
+                    "mean_queue_ms": round(s["queue_time_s"] / nb * 1e3, 2),
                     "mean_device_ms": round(
-                        batcher.device_time_s / max(batcher.n_batches, 1)
+                        s["device_time_s"] / max(s["n_batches"], 1)
                         * 1e3, 2),
                 }).encode()
                 self._send(200, body, "application/json")
