@@ -124,6 +124,18 @@ DEGRADED_RETRIES = 2
 DEGRADED_COOLDOWN_S = 75.0
 # healthy chip_probe on v5e: 0.69-0.72 ms (137 GFLOP @ ~190 TFLOP/s)
 EXPECTED_PROBE_MS = 0.72
+# mode_all record swap: challenger must beat the incumbent by more than the
+# repeat noise of overhead-validated measurements (~1% across r05 runs;
+# 4% adds margin — the r04 +2.6% int8df margin rode inside noise)
+SWAP_MARGIN = 0.04
+# two-point methodology guard: per_iter = (t2-t1)/(n2-n1) silently INFLATES
+# throughput if transient contention lands inside the t1 window (observed:
+# a 569.7 img/s reading on the same executable that times 519-520, with the
+# implied dispatch overhead t1 - n1*per_iter jumping 0.03 -> 0.58 s).
+# Reject attempts whose implied overhead exceeds this and remeasure.
+# Normal overhead for the EGM headline is ~0.33 s (12 MB numpy variables
+# re-transferred per call); the artifact run implied 0.58 s.
+MAX_OVERHEAD_S = 0.45
 
 
 def chip_probe(tag: str = "start") -> float:
@@ -480,8 +492,17 @@ def bench_inference(args, quant=None, batches=None, emit_json=True):
                 for attempt in range(1 + DEGRADED_RETRIES):
                     t1 = time_fetch(run1, variables, x, repeats=args.repeats)
                     t2 = time_fetch(run2, variables, x, repeats=args.repeats)
-                    per_iter = min(per_iter, max(
-                        (t2 - t1) / (args.n2 - args.n1), 1e-9))
+                    cand = max((t2 - t1) / (args.n2 - args.n1), 1e-9)
+                    overhead = t1 - args.n1 * cand
+                    if expected is not None and overhead > MAX_OVERHEAD_S:
+                        # contention inside the t1 window inflates throughput
+                        # (the 569.7 artifact); retry without accepting it
+                        print(f"# unstable measurement: batch {bs} implied "
+                              f"overhead {overhead:.2f}s > {MAX_OVERHEAD_S}s "
+                              f"(attempt {attempt + 1}); remeasuring",
+                              flush=True)
+                        continue
+                    per_iter = min(per_iter, cand)
                     if (expected is None
                             or per_iter * 1e3 <= expected * DEGRADED_FACTOR):
                         break
@@ -495,6 +516,10 @@ def bench_inference(args, quant=None, batches=None, emit_json=True):
                           f"down {DEGRADED_COOLDOWN_S:.0f}s and remeasuring",
                           flush=True)
                     time.sleep(DEGRADED_COOLDOWN_S)
+                if per_iter == float("inf"):
+                    # every attempt tripped the overhead guard; fall back to
+                    # the last candidate rather than losing the record
+                    per_iter = cand
         except Exception as e:  # OOM etc.
             print(f"# batch {bs} failed: {type(e).__name__}: {e}", flush=True)
             continue
@@ -912,10 +937,18 @@ def mode_all(args):
         except Exception as e:
             print(f"# {name} pillar failed: {type(e).__name__}: {e}",
                   flush=True)
+        # Variance-hardened swap gate (VERDICT r4 weak #4): the measured
+        # run-to-run band on the tunneled chip is wider than the old gate
+        # assumed (224.7-246.5 ms/iter on the SAME cached executable, r05
+        # logs), so require the int8df margin to EXCEED that band; within
+        # the band, keep bf16 and annotate the close runner-up instead.
         if (int8df_rec is not None
-                and int8df_rec.get("value", 0) > best.get("value", 0)
                 and int8df_rec.get("mask_agreement_vs_bf16", 0) >= 0.99):
-            best = dict(int8df_rec)
+            if int8df_rec.get("value", 0) > best.get("value", 0) * (
+                    1 + SWAP_MARGIN):
+                best = dict(int8df_rec)
+            elif int8df_rec.get("value", 0) > best.get("value", 0):
+                best["int8df_within_variance"] = int8df_rec["value"]
         reemit()
 
     # freshness: re-measure the bf16 headline if the budget allows a full
@@ -926,7 +959,10 @@ def mode_all(args):
             headline = bench_inference(args, batches=args.headline_batches,
                                        emit_json=False)
             if headline.get("value", 0) >= best.get("value", 0):
-                best = dict(headline)
+                # keep the within-variance annotation on the fresh record
+                keep = {k: best[k] for k in ("int8df_within_variance",)
+                        if k in best}
+                best = {**headline, **keep}
         except Exception as e:
             print(f"# headline re-measure failed: {type(e).__name__}: {e}",
                   flush=True)
