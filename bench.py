@@ -494,11 +494,16 @@ def bench_inference(args, quant=None, batches=None, emit_json=True):
                     t2 = time_fetch(run2, variables, x, repeats=args.repeats)
                     cand = max((t2 - t1) / (args.n2 - args.n1), 1e-9)
                     overhead = t1 - args.n1 * cand
-                    if expected is not None and overhead > MAX_OVERHEAD_S:
+                    if (expected is not None and overhead > MAX_OVERHEAD_S
+                            and cand * 1e3 < expected * 0.95):
                         # contention inside the t1 window inflates throughput
-                        # (the 569.7 artifact); retry without accepting it
+                        # (the 569.7 artifact: overhead 0.58s AND a reading
+                        # 9% faster than the executable ever times cleanly).
+                        # Both signals required — normal overhead drifts up
+                        # to ~0.47s without corrupting the reading.
                         print(f"# unstable measurement: batch {bs} implied "
                               f"overhead {overhead:.2f}s > {MAX_OVERHEAD_S}s "
+                              f"with implausibly fast {cand * 1e3:.1f} ms "
                               f"(attempt {attempt + 1}); remeasuring",
                               flush=True)
                         continue
@@ -890,6 +895,15 @@ def mode_all(args):
         ("clipseg", ["--mode", "clipseg", "--attn-impls", "pallas",
                      "--batches", "2" if smoke else "16,64"], 480.0, None),
     ]
+    # Warm-cache first-attempt deadlines (r05): with the persistent compile
+    # cache fixed, every pillar completes well inside these; the dominant
+    # remaining failure is an intermittent tunnel stall at backend init
+    # (observed: a warm int8df pillar produced ZERO output for its full
+    # 950 s cap, starving every later pillar).  First attempt uses the warm
+    # cap; if the pillar produced no JSON, ONE retry gets the rest of its
+    # full cap — a fresh process makes a fresh tunnel connection.
+    warm_caps = {"int8df": 360.0, "fusion": 480.0, "text": 240.0,
+                 "clipseg": 300.0}
     int8df_rec = None
     for name, argv, cap, want in pillars:
         left = args.budget - (time.perf_counter() - t0)
@@ -901,41 +915,64 @@ def mode_all(args):
         cmd = [sys.executable, bench_path] + argv + common
         if name == "clipseg":  # 352 is the CLIPSeg contract size
             cmd[cmd.index("--size") + 1] = str(min(args.size, 352))
-        if name == "fusion":  # inner eval-subprocess timeout < our kill
-            cmd += ["--budget", str(int(max(deadline - 30, 60)))]
         def scan_output(out, err=None):
-            """Reprint pillar stdout and pick up the wanted metric JSON."""
+            """Reprint pillar stdout; pick up metric JSONs.  Returns True if
+            any JSON line appeared (the pillar did real work)."""
             nonlocal int8df_rec
             if isinstance(out, bytes):
                 out = out.decode(errors="replace")
+            got_json = False
             for ln in (out or "").splitlines():
                 print(ln, flush=True)
             if isinstance(err, bytes):
                 err = err.decode(errors="replace")
             for ln in (err or "").strip().splitlines()[-4:]:
                 print(f"# {name} stderr: {ln}", flush=True)
-            if want:
-                for ln in (out or "").splitlines():
-                    if ln.startswith("{"):
+            for ln in (out or "").splitlines():
+                if ln.startswith("{"):
+                    got_json = True
+                    if want:
                         try:
                             rec = json.loads(ln)
                         except ValueError:
                             continue
                         if rec.get("metric", "").endswith(want):
                             int8df_rec = rec
+            return got_json
 
-        try:
-            proc = subprocess.run(cmd, timeout=deadline,
-                                  capture_output=True, text=True)
-            scan_output(proc.stdout,
-                        proc.stderr if proc.returncode != 0 else None)
-        except subprocess.TimeoutExpired as e:
-            print(f"# {name} pillar hit its {min(cap, left):.0f}s deadline; "
-                  f"parsing partial output (ADVICE r4)", flush=True)
-            # a record that already printed before the hang still counts
-            scan_output(e.stdout, e.stderr)
-        except Exception as e:
-            print(f"# {name} pillar failed: {type(e).__name__}: {e}",
+        for attempt in range(2):
+            left = args.budget - (time.perf_counter() - t0)
+            if left <= 60:
+                break
+            # attempt 0: warm-sized deadline; attempt 1 (only after an
+            # empty first attempt): the rest of the pillar's full cap
+            a_deadline = min(warm_caps.get(name, cap) if attempt == 0
+                             else cap, left)
+            a_cmd = list(cmd)
+            if name == "fusion":  # inner eval-subprocess timeout < our kill
+                a_cmd += ["--budget", str(int(max(a_deadline - 30, 60)))]
+            got = False
+            try:
+                proc = subprocess.run(a_cmd, timeout=a_deadline,
+                                      capture_output=True, text=True,
+                                      env={**os.environ,
+                                           "EGM_SKIP_PROBE": "1"})
+                got = scan_output(proc.stdout,
+                                  proc.stderr if proc.returncode != 0
+                                  else None)
+            except subprocess.TimeoutExpired as e:
+                print(f"# {name} pillar hit its {a_deadline:.0f}s deadline "
+                      f"(attempt {attempt + 1}); parsing partial output",
+                      flush=True)
+                # a record that already printed before the hang still counts
+                got = scan_output(e.stdout, e.stderr)
+            except Exception as e:
+                print(f"# {name} pillar failed: {type(e).__name__}: {e}",
+                      flush=True)
+            if got:
+                break
+            print(f"# {name} attempt {attempt + 1} produced no record"
+                  + ("; retrying with full cap" if attempt == 0 else ""),
                   flush=True)
         # Variance-hardened swap gate (VERDICT r4 weak #4): the measured
         # run-to-run band on the tunneled chip is wider than the old gate
