@@ -770,15 +770,16 @@ def main():
     p.add_argument("--verify-kernels", action="store_true",
                    help="before timing, run compiled Pallas kernels against "
                         "their XLA references on the live backend")
-    p.add_argument("--budget", type=float, default=950.0,
+    p.add_argument("--budget", type=float, default=1200.0,
                    help="mode all: seconds allotted to the non-headline "
                         "pillars AFTER the headline has printed; each pillar "
                         "runs in a subprocess with a hard deadline, so a "
-                        "stalled pillar can never eat the record.  Default "
-                        "sized so headline (~300s cold-cache) + budget fits "
-                        "the driver's outer timeout (BENCH_r03 rc=124 "
-                        "postmortem, PERF.md).  Queue scripts that own their "
-                        "session pass a larger value explicitly")
+                        "stalled pillar can never eat the record.  Sizing "
+                        "from measured facts (r05, warm persistent cache): "
+                        "headline ~240s + int8df ~450 + fusion ~250 + text "
+                        "~100 + clipseg ~120 + re-measure ~60 = ~1220s total "
+                        "wall, vs the ~1800s driver window (sim3 ran rc=0 at "
+                        "1212s under a tested 1790s outer timeout)")
     p.add_argument("--no-agreement", action="store_true",
                    help="int8: skip the mask-agreement check (saves compiles)")
     p.add_argument("--headline-batches", type=str, default="128",
@@ -902,7 +903,10 @@ def mode_all(args):
     # 950 s cap, starving every later pillar).  First attempt uses the warm
     # cap; if the pillar produced no JSON, ONE retry gets the rest of its
     # full cap — a fresh process makes a fresh tunnel connection.
-    warm_caps = {"int8df": 360.0, "fusion": 480.0, "text": 240.0,
+    # int8df's warm wall is ~420-450 s (two big programs + calibration +
+    # agreement compiles); 360 was measured too small (driver sim3: empty
+    # first attempt, completed on retry at 539.1 img/s)
+    warm_caps = {"int8df": 500.0, "fusion": 480.0, "text": 240.0,
                  "clipseg": 300.0}
     int8df_rec = None
     for name, argv, cap, want in pillars:
@@ -930,14 +934,16 @@ def mode_all(args):
                 print(f"# {name} stderr: {ln}", flush=True)
             for ln in (out or "").splitlines():
                 if ln.startswith("{"):
-                    got_json = True
-                    if want:
-                        try:
-                            rec = json.loads(ln)
-                        except ValueError:
-                            continue
-                        if rec.get("metric", "").endswith(want):
-                            int8df_rec = rec
+                    try:
+                        rec = json.loads(ln)
+                    except ValueError:
+                        continue
+                    # a failure marker (fusion walltime with ok=false) is
+                    # not a record — let the retry fire
+                    if rec.get("ok", True) is not False:
+                        got_json = True
+                    if want and rec.get("metric", "").endswith(want):
+                        int8df_rec = rec
             return got_json
 
         for attempt in range(2):
