@@ -346,11 +346,14 @@ def main(argv=None):
                 ckpt.maybe_save(epoch, args.epochs, state,
                                 extra={"args": vars(args)})
             best_dice = max(best_dice, dice_val)
-            # Host-RSS hygiene: on the tunneled axon backend the per-dispatch
-            # transfer staging grows ~0.9 GB/epoch if left to cycle-delayed
-            # collection (a 145-epoch run hit 130 GB and was OOM-killed,
-            # runs/r04_proof — the kill/resume machinery absorbed it, but
-            # collect per epoch so it doesn't happen at all).
+            # Host-RSS hygiene.  r05 correction (tools/leak_probe.py): the
+            # ~0.9 GB/epoch growth is a NATIVE leak in the axon plugin's
+            # transfer staging (1:1 with wire bytes; gc finds 0 cyclic
+            # objects, malloc_trim frees ~0) — this collect does NOT fix it
+            # and the r04 attribution to cycle-delayed collection was wrong.
+            # Kept to bound ordinary Python garbage on 200-epoch runs; the
+            # real mitigations are --wire-uint8 (4x fewer wire bytes) and
+            # checkpoint/resume (absorbed the r04 host-OOM kill).
             gc.collect()
 
         total = time.time() - t_start

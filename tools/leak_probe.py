@@ -19,6 +19,10 @@ axon plugin's transfer path).
 
 import argparse
 import gc
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
