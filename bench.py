@@ -368,6 +368,25 @@ def bench_text(args):
     }), flush=True)
 
 
+def _model_code_hash() -> str:
+    """8-hex digest of the model/layer sources, so the variables memo
+    auto-invalidates when init code changes (a stale memo would silently
+    mask model edits — verify-skill hazard note)."""
+    import hashlib
+
+    import egm_unet_tpu
+
+    root = os.path.dirname(os.path.abspath(egm_unet_tpu.__file__))
+    h = hashlib.sha256()
+    for sub in ("models", "nn", "ops"):
+        d = os.path.join(root, sub)
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".py"):
+                with open(os.path.join(d, fn), "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:8]
+
+
 def _build_inference(args, dtype):
     from egm_unet_tpu.models import create_model
     from egm_unet_tpu.models.fold_bn import fold_bn_variables
@@ -386,7 +405,8 @@ def _build_inference(args, dtype):
     memo_dir = os.path.expanduser("~/.egm_bench_vars")
     memo = os.path.join(
         memo_dir, f"v1_{args.model}_c32_{args.dtype}_"
-                  f"{'fold' if fold else 'raw'}_{jax.default_backend()}.msgpack")
+                  f"{'fold' if fold else 'raw'}_{jax.default_backend()}_"
+                  f"{_model_code_hash()}.msgpack")
     if os.path.exists(memo):
         with open(memo, "rb") as f:
             variables = serialization.msgpack_restore(f.read())
