@@ -59,6 +59,13 @@ def parse_args(argv=None):
                    help="run scale/crop/flip/normalize on device as one "
                         "fused program (data/device_aug.py) instead of "
                         "host-side PIL transforms")
+    p.add_argument("--device-cache", action="store_true",
+                   help="upload the raw train set to HBM once and keep every "
+                        "per-step op on device (data/device_cache.py) — each "
+                        "step transfers only a [batch] index vector, which "
+                        "zeroes the tunneled backend's per-wire-byte host-RSS "
+                        "leak (PERF.md round 5); implies --device-aug, "
+                        "single-device only, dataset must fit HBM")
     p.add_argument("--eval-size", default=565, type=int)
     p.add_argument("--mesh-data", default=None, type=int)
     p.add_argument("--mesh-spatial", default=1, type=int,
@@ -119,6 +126,10 @@ def main(argv=None):
     num_classes = args.num_classes + 1
     dtype = jnp.bfloat16 if args.amp else jnp.float32
 
+    if args.device_cache:
+        args.device_aug = True  # the cache program embeds the augmentation
+        if args.mesh_data is None:
+            args.mesh_data = 1  # single-device path unless explicitly meshed
     if args.device_aug:
         # host loads raw sources at a fixed shape; the augmentation runs on
         # device as one jitted program per batch
@@ -209,6 +220,21 @@ def main(argv=None):
         from egm_unet_tpu.parallel import replicated
 
         state = jax.device_put(state, replicated(mesh))
+
+    device_cache = None
+    if args.device_cache:
+        if mesh is not None:
+            raise SystemExit("--device-cache is single-device (the real-chip "
+                             "leak mitigation); drop --mesh-data/--mesh-spatial")
+        from egm_unet_tpu.data.device_cache import DeviceDatasetCache
+
+        device_cache = DeviceDatasetCache(
+            train_ds, src_h, dev_mean, dev_std, crop_size=crop,
+            min_size=int(0.5 * src_h), max_size=int(1.2 * src_h),
+            out_dtype=dtype)
+        device_augment = None  # augmentation runs inside the cache program
+        print(f"device cache: {device_cache.n} samples, "
+              f"{device_cache.hbm_bytes / 1e6:.0f} MB HBM resident")
 
     # donate the state: params/opt-state/BN-stats buffers are reused in
     # place instead of allocating a second copy per step
@@ -306,13 +332,21 @@ def main(argv=None):
                     logger.update(loss=float(lo), lr=float(lr_))
                 pending.clear()
 
-            source = train_loader if k_steps == 1 else SuperBatcher(
-                train_loader, k_steps)
+            if device_cache is not None:
+                # deterministic per-epoch key/permutation: kill/resume at
+                # epoch N replays the same shuffle + augmentation draws the
+                # uninterrupted run would have made (restart-proof contract)
+                batch_iter = device_cache.epoch_iter(
+                    jax.random.fold_in(aug_key, epoch), args.batch_size,
+                    rng=np.random.default_rng(args.seed + epoch))
+            else:
+                source = train_loader if k_steps == 1 else SuperBatcher(
+                    train_loader, k_steps)
+                batch_iter = iter(DevicePrefetcher(source, prepare_train))
             window = max(1, args.print_freq // k_steps)
             step_i = 0
             for images, targets in logger.log_every(
-                    iter(DevicePrefetcher(source, prepare_train)),
-                    window, f"Epoch: [{epoch}]"):
+                    batch_iter, window, f"Epoch: [{epoch}]"):
                 if device_augment is not None:
                     aug_key, k = jax.random.split(aug_key)
                     images, targets = device_augment(k, images, targets)
